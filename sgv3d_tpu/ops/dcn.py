@@ -1,0 +1,115 @@
+"""Deformable convolution v1 as offset-prediction + bilinear gather.
+
+XLA has no deform-conv primitive; on TPU the natural formulation is a dense
+bilinear gather of all k*k taps followed by a grouped contraction (MXU). This
+matches the math of mmcv `DeformConv2dPack` (DCNv1, no modulation): zero-init
+offset conv, offset channel layout (dy, dx) per tap, zero padding outside the
+feature map.
+
+Used by HeightNet's height branch (reference conf:
+/root/reference/layers/backbones/lss_fpn.py:190-198 — k=3, pad=1, groups=4).
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+def bilinear_sample_nhwc(x: jnp.ndarray, py: jnp.ndarray, px: jnp.ndarray) -> jnp.ndarray:
+    """Sample x (B, H, W, C) at float coords (B, ..., ) with zero padding.
+
+    Returns (B, ..., C).
+    """
+    b, h, w, c = x.shape
+    y0 = jnp.floor(py)
+    x0 = jnp.floor(px)
+    wy = py - y0
+    wx = px - x0
+    out = None
+    for dy in (0, 1):
+        for dx in (0, 1):
+            yy = y0 + dy
+            xx = x0 + dx
+            weight = jnp.abs(1.0 - dy - wy) * jnp.abs(1.0 - dx - wx)
+            valid = (yy >= 0) & (yy <= h - 1) & (xx >= 0) & (xx <= w - 1)
+            yi = jnp.clip(yy, 0, h - 1).astype(jnp.int32)
+            xi = jnp.clip(xx, 0, w - 1).astype(jnp.int32)
+            bidx = jnp.arange(b).reshape((b,) + (1,) * (py.ndim - 1))
+            vals = x[bidx, yi, xi]  # (B, ..., C)
+            contrib = vals * (weight * valid.astype(x.dtype))[..., None]
+            out = contrib if out is None else out + contrib
+    return out
+
+
+def deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray, weight: jnp.ndarray,
+                  bias: jnp.ndarray | None = None, kernel: int = 3,
+                  groups: int = 1) -> jnp.ndarray:
+    """DCNv1 forward.
+
+    Args:
+      x: (B, H, W, Cin).
+      offset: (B, H, W, 2*k*k) with (dy, dx) pairs per tap, row-major taps.
+      weight: (k, k, Cin // groups, Cout) flax conv layout.
+      bias: optional (Cout,).
+      kernel: k (padding fixed at k//2, stride 1).
+      groups: conv groups.
+
+    Returns:
+      (B, H, W, Cout).
+    """
+    b, h, w, cin = x.shape
+    k = kernel
+    pad = k // 2
+    taps = k * k
+    cout = weight.shape[-1]
+
+    hh = jnp.arange(h, dtype=x.dtype)
+    ww = jnp.arange(w, dtype=x.dtype)
+    base_y = hh[None, :, None, None]
+    base_x = ww[None, None, :, None]
+    tap_dy = (jnp.arange(taps) // k - pad).astype(x.dtype)[None, None, None, :]
+    tap_dx = (jnp.arange(taps) % k - pad).astype(x.dtype)[None, None, None, :]
+    off = offset.reshape(b, h, w, taps, 2)
+    py = base_y + tap_dy + off[..., 0]
+    px = base_x + tap_dx + off[..., 1]
+
+    sampled = bilinear_sample_nhwc(x, py, px)  # (B, H, W, taps, Cin)
+    if groups == 1:
+        out = jnp.einsum("bhwtc,tcd->bhwd",
+                         sampled, weight.reshape(taps, cin, cout),
+                         preferred_element_type=jnp.float32)
+    else:
+        cg = cin // groups
+        og = cout // groups
+        sg = sampled.reshape(b, h, w, taps, groups, cg)
+        wg = weight.reshape(k, k, cg, groups, og).transpose(0, 1, 3, 2, 4)
+        wg = wg.reshape(taps, groups, cg, og)
+        out = jnp.einsum("bhwtgc,tgcd->bhwgd", sg, wg,
+                         preferred_element_type=jnp.float32)
+        out = out.reshape(b, h, w, cout)
+    if bias is not None:
+        out = out + bias
+    return out.astype(x.dtype)
+
+
+class DeformConv(nn.Module):
+    """DeformConv2dPack equivalent: zero-init offset conv + deformable conv."""
+    features: int
+    kernel: int = 3
+    groups: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel
+        # mmcv zero-inits the offset conv so training starts as a plain conv.
+        offset = nn.Conv(
+            2 * k * k, (k, k), padding=[(k // 2, k // 2)] * 2,
+            kernel_init=nn.initializers.zeros_init(),
+            bias_init=nn.initializers.zeros_init(),
+            name="offset_conv")(x)
+        cin = x.shape[-1]
+        weight = self.param(
+            "weight", nn.initializers.he_normal(),
+            (k, k, cin // self.groups, self.features))
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return deform_conv2d(x, offset, weight, bias, k, self.groups)

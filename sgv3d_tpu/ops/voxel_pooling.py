@@ -1,0 +1,161 @@
+"""BEV voxel pooling (lift-splat scatter-add) — TPU-native.
+
+Two entry points:
+
+* `voxel_pooling(geom_xyz, features, voxel_num)` — generic sum-pooling of
+  per-point features into a BEV grid. Semantics match the reference CUDA op
+  (/root/reference/ops/voxel_pooling/src/voxel_pooling_forward_cuda.cu:9-56):
+  every point whose integer voxel coordinate is inside the grid contributes
+  its feature vector to its (y, x) cell; z is collapsed. Unlike the CUDA
+  `atomicAdd` (whose float accumulation order is nondeterministic), the XLA
+  scatter-add is deterministic — bit-identical results across runs.
+
+* `lift_splat_pool(height, context, cell_index, ...)` — the fused path used
+  by the model: computes `height[d,h,w] * context[h,w,:]` on the fly inside a
+  chunked scan and scatters straight into the BEV grid, never materialising
+  the (D, fH, fW, C) outer-product tensor the reference materialises
+  (/root/reference/layers/backbones/lss_fpn.py:464-466). A custom VJP makes
+  the backward a pair of gathers (mirroring the reference backward's
+  pos_memo gather, /root/reference/ops/voxel_pooling/voxel_pooling.py:57-69)
+  plus a D-axis reduction — no scatter in the context gradient at all.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def flatten_voxel_index(geom_xyz: jnp.ndarray, voxel_num: tuple[int, int, int]) -> jnp.ndarray:
+    """Integer voxel coords (..., 3) -> flat BEV cell index y*X + x.
+
+    Out-of-range points (any of x, y, z outside the grid) map to the sentinel
+    index Y*X (one past the grid), which callers use as a trash cell.
+    """
+    num_x, num_y, num_z = int(voxel_num[0]), int(voxel_num[1]), int(voxel_num[2])
+    x, y, z = geom_xyz[..., 0], geom_xyz[..., 1], geom_xyz[..., 2]
+    valid = (
+        (x >= 0) & (x < num_x) & (y >= 0) & (y < num_y) & (z >= 0) & (z < num_z)
+    )
+    flat = y * num_x + x
+    return jnp.where(valid, flat, num_y * num_x).astype(jnp.int32)
+
+
+def voxel_pooling(geom_xyz: jnp.ndarray, features: jnp.ndarray,
+                  voxel_num: tuple[int, int, int]) -> jnp.ndarray:
+    """Sum-pool per-point features into a BEV grid.
+
+    Args:
+      geom_xyz: (B, P, 3) int32 voxel coords.
+      features: (B, P, C) float features.
+      voxel_num: static (X, Y, Z) grid extents.
+
+    Returns:
+      (B, Y, X, C) float BEV map (NHWC; the reference returns NCHW).
+    """
+    num_x, num_y = int(voxel_num[0]), int(voxel_num[1])
+    b, p, c = features.shape
+    cell = flatten_voxel_index(geom_xyz, voxel_num)  # (B, P)
+    out = jnp.zeros((b, num_y * num_x + 1, c), features.dtype)
+    out = out.at[jnp.arange(b)[:, None], cell].add(features)
+    return out[:, : num_y * num_x].reshape(b, num_y, num_x, c)
+
+
+# ---------------------------------------------------------------------------
+# Fused lift-splat pooling
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def lift_splat_pool(height: jnp.ndarray, context: jnp.ndarray,
+                    cell_index: jnp.ndarray, batch: int, num_cells: int,
+                    d_chunk: int = 10) -> jnp.ndarray:
+    """Fused `outer(height, context)` + BEV scatter-add.
+
+    Args:
+      height:     (N, D, HW) float32 height-bin probabilities (N = B*num_cams).
+      context:    (N, HW, C) float32 context features.
+      cell_index: (N, D, HW) int32 flat cell index in [0, num_cells] where
+                  `num_cells` itself is the trash cell for out-of-range points.
+      batch:      static B. N must be divisible by batch; camera n contributes
+                  to BEV grid n // (N // batch).
+      num_cells:  static Y*X.
+      d_chunk:    static number of height bins processed per scan step; bounds
+                  peak memory at N*d_chunk*HW*C instead of N*D*HW*C.
+
+    Returns:
+      (B, num_cells, C) float32 BEV features.
+    """
+    return _lift_splat_fwd(height, context, cell_index, batch, num_cells, d_chunk)[0]
+
+
+def _lift_splat_fwd(height, context, cell_index, batch, num_cells, d_chunk):
+    n, d, hw = height.shape
+    c = context.shape[-1]
+    cams_per_b = n // batch
+    # Global cell index: offset each camera's cells by its batch element.
+    batch_of_cam = jnp.arange(n, dtype=jnp.int32) // cams_per_b  # (N,)
+    gcell = cell_index + (batch_of_cam * (num_cells + 1))[:, None, None]
+    # Trash rows interleave per batch element; allocate B*(num_cells+1) rows.
+    out = jnp.zeros((batch * (num_cells + 1), c), jnp.float32)
+
+    num_chunks = -(-d // d_chunk)
+    pad_d = num_chunks * d_chunk - d
+    if pad_d:
+        height = jnp.pad(height, ((0, 0), (0, pad_d), (0, 0)))
+        # Padded bins carry zero weight; send them to the first trash cell.
+        gcell = jnp.pad(gcell, ((0, 0), (0, pad_d), (0, 0)),
+                        constant_values=num_cells)
+    h_chunks = height.reshape(n, num_chunks, d_chunk, hw).transpose(1, 0, 2, 3)
+    i_chunks = gcell.reshape(n, num_chunks, d_chunk, hw).transpose(1, 0, 2, 3)
+
+    def step(acc, chunk):
+        h_c, i_c = chunk  # (N, d_chunk, HW), (N, d_chunk, HW)
+        feats = h_c[..., None] * context[:, None, :, :]  # (N, dc, HW, C)
+        acc = acc.at[i_c.reshape(-1)].add(
+            feats.reshape(-1, c).astype(jnp.float32))
+        return acc, None
+
+    out, _ = jax.lax.scan(step, out, (h_chunks, i_chunks))
+    out = out.reshape(batch, num_cells + 1, c)[:, :num_cells]
+    return out, (height, context, cell_index)
+
+
+def _lift_splat_bwd(batch, num_cells, d_chunk, residuals, g):
+    height, context, cell_index = residuals
+    n, d_padded, hw = height.shape
+    d = cell_index.shape[1]
+    c = context.shape[-1]
+    cams_per_b = n // batch
+    g = g.astype(jnp.float32)
+    # Pad g with a zero trash row per batch element so out-of-range points get
+    # zero gradient — the gather-based backward of the reference.
+    g_pad = jnp.concatenate(
+        [g, jnp.zeros((batch, 1, c), jnp.float32)], axis=1
+    ).reshape(batch * (num_cells + 1), c)
+
+    batch_of_cam = jnp.arange(n, dtype=jnp.int32) // cams_per_b
+    gcell = cell_index + (batch_of_cam * (num_cells + 1))[:, None, None]
+
+    num_chunks = -(-d // d_chunk)
+    pad_d = num_chunks * d_chunk - d
+    gcell_p = jnp.pad(gcell, ((0, 0), (0, pad_d), (0, 0)),
+                      constant_values=num_cells) if pad_d else gcell
+    h_chunks = height.reshape(n, num_chunks, d_chunk, hw).transpose(1, 0, 2, 3)
+    i_chunks = gcell_p.reshape(n, num_chunks, d_chunk, hw).transpose(1, 0, 2, 3)
+
+    def step(d_ctx, chunk):
+        h_c, i_c = chunk
+        g_rows = g_pad[i_c]                       # (N, dc, HW, C) gather
+        d_h = jnp.einsum("ndpc,npc->ndp", g_rows, context)
+        d_ctx = d_ctx + jnp.einsum("ndpc,ndp->npc", g_rows, h_c)
+        return d_ctx, d_h
+
+    d_ctx, d_h_chunks = jax.lax.scan(
+        step, jnp.zeros((n, hw, c), jnp.float32), (h_chunks, i_chunks))
+    d_height = d_h_chunks.transpose(1, 0, 2, 3).reshape(n, num_chunks * d_chunk, hw)
+    del d_padded  # residual height was padded; the primal input was length d
+    return d_height[:, :d], d_ctx, None
+
+
+lift_splat_pool.defvjp(_lift_splat_fwd, _lift_splat_bwd)
