@@ -1,0 +1,87 @@
+"""Synthetic roadside batches with physically consistent calibration.
+
+Used by unit tests, bench.py and __graft_entry__.py so the full model can be
+exercised without the DAIR-V2X / Rope3D datasets on disk.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from sgv3d_tpu import geom
+from sgv3d_tpu.config import ExpConfig
+
+
+def make_calibration(rng: np.random.Generator, final_dim, orig_hw=(1080, 1920),
+                     cam_height: float = 7.0, pitch_deg: float = 12.0):
+    """Build a consistent (sensor2ego, sensor2virtual, intrin, ida, ref_h)."""
+    pitch = np.deg2rad(pitch_deg + rng.normal(0, 1.0))
+    # camera axes: x right (ego -y), y down-forward, z forward (ego x)
+    R_cam2ego = (np.array([[0, 0, 1], [-1, 0, 0], [0, -1, 0]], float)
+                 @ geom.rodrigues(np.array([pitch, 0, 0])).T)
+    s2e = np.eye(4, dtype=np.float32)
+    s2e[:3, :3] = R_cam2ego
+    s2e[:3, 3] = [0, 0, cam_height + rng.normal(0, 0.2)]
+    denorm = geom.get_denorm(np.linalg.inv(s2e.astype(np.float64)))
+    s2v = geom.get_sensor2virtual(denorm)
+    ref_h = geom.get_reference_height(denorm)
+
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0] = K[1, 1] = 2100.0 + rng.normal(0, 50)
+    K[0, 2] = orig_hw[1] / 2
+    K[1, 2] = orig_hw[0] / 2
+    resize = final_dim[1] / orig_hw[1]
+    crop_top = int(orig_hw[0] * resize) - final_dim[0]
+    ida = geom.ida_matrix(
+        resize, (0, crop_top, final_dim[1], int(orig_hw[0] * resize)),
+        False, 0.0)
+    return s2e, s2v.astype(np.float32), K, ida.astype(np.float32), ref_h
+
+
+def make_batch(cfg: ExpConfig, batch: int, seed: int = 0, num_objs: int = 12,
+               max_objs: int | None = None):
+    """Returns (sweep_imgs, mats, gt_boxes, gt_labels, gt_semantic) as numpy.
+
+    sweep_imgs: (B, 1, 1, H, W, 3) normalised images (NHWC).
+    mats: dict of stacked matrices as the model expects.
+    gt_boxes: (B, K, 9); gt_labels: (B, K) int32 (-1 padded).
+    gt_semantic: (B, 1, H, W) int32 class-id masks.
+    """
+    rng = np.random.default_rng(seed)
+    h, w = cfg.backbone.final_dim
+    k = max_objs or cfg.head.max_objs
+
+    imgs = rng.normal(0, 1, size=(batch, 1, 1, h, w, 3)).astype(np.float32)
+    s2e_l, s2v_l, k_l, ida_l, ref_l = [], [], [], [], []
+    for _ in range(batch):
+        s2e, s2v, K, ida, ref_h = make_calibration(rng, (h, w))
+        s2e_l.append(s2e)
+        s2v_l.append(s2v)
+        k_l.append(K)
+        ida_l.append(ida)
+        ref_l.append(ref_h)
+    mats = {
+        "sensor2ego_mats": np.stack(s2e_l)[:, None, None],
+        "sensor2virtual_mats": np.stack(s2v_l)[:, None, None],
+        "intrin_mats": np.stack(k_l)[:, None, None],
+        "ida_mats": np.stack(ida_l)[:, None, None],
+        "sensor2sensor_mats": np.tile(
+            np.eye(4, dtype=np.float32), (batch, 1, 1, 1, 1)),
+        "reference_heights": np.asarray(ref_l, np.float32)[:, None, None],
+        "bda_mat": np.tile(np.eye(4, dtype=np.float32), (batch, 1, 1)),
+    }
+
+    gt_boxes = np.zeros((batch, k, 9), np.float32)
+    gt_labels = np.full((batch, k), -1, np.int32)
+    x0, x1 = cfg.head.point_cloud_range[0], cfg.head.point_cloud_range[3]
+    y0, y1 = cfg.head.point_cloud_range[1], cfg.head.point_cloud_range[4]
+    for b in range(batch):
+        n = min(num_objs, k)
+        gt_boxes[b, :n, 0] = rng.uniform(x0 + 5, x1 - 5, n)
+        gt_boxes[b, :n, 1] = rng.uniform(y0 + 5, y1 - 5, n)
+        gt_boxes[b, :n, 2] = rng.uniform(-1.0, 0.5, n)
+        gt_boxes[b, :n, 3:6] = rng.uniform(0.5, 4.5, (n, 3))
+        gt_boxes[b, :n, 6] = rng.uniform(-np.pi, np.pi, n)
+        gt_labels[b, :n] = rng.integers(0, len(cfg.classes), n)
+    gt_semantic = rng.integers(
+        0, cfg.backbone.semantic_channels, size=(batch, 1, h, w)).astype(np.int32)
+    return imgs, mats, gt_boxes, gt_labels, gt_semantic

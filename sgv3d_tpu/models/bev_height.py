@@ -1,0 +1,91 @@
+"""BEVHeight / SGV3D model composition.
+
+Composes the image->BEV backbone (LSSFPN or BSMLSSFPN, chosen by
+`cfg.backbone.is_bsm` like the reference dispatch at
+/root/reference/models/bev_height.py:23-27) with the CenterPoint-style BEV
+head, and provides the functional training losses (detection + semantic aux,
+/root/reference/exps/sgv3d/...r50...py:258-338).
+"""
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from sgv3d_tpu.config import ExpConfig, HeadConfig
+from sgv3d_tpu.heads.bev_head import BEVHeightHead
+from sgv3d_tpu.heads.losses import head_loss
+from sgv3d_tpu.heads.targets import get_targets
+from sgv3d_tpu.losses.focal import multiclass_focal_loss
+from sgv3d_tpu.nn.lss_fpn import BSMLSSFPN, LSSFPN
+from sgv3d_tpu.ops.resize import resize_bilinear
+
+
+class BEVHeight(nn.Module):
+    cfg: ExpConfig
+    dtype: jnp.dtype | None = None  # backbone compute dtype (bf16 on TPU)
+
+    @nn.compact
+    def __call__(self, sweep_imgs, mats: Mapping[str, Any], train: bool = False):
+        """Returns (task_preds, aux) where aux is the backbone's auxiliary
+        output pair (assist features for LSSFPN, semantic logits for BSM)."""
+        backbone_cls = BSMLSSFPN if self.cfg.backbone.is_bsm else LSSFPN
+        backbone = backbone_cls(self.cfg.backbone, dtype=self.dtype,
+                                name="backbone")
+        head = BEVHeightHead(self.cfg.head, name="head")
+        bev, aux = backbone(sweep_imgs, mats, train)
+        preds = head(bev, train)
+        return preds, aux
+
+
+def downsample_semantic_labels(gt_semantic: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """Max-pool class-id labels down to the prediction stride.
+
+    gt_semantic: (B, N, H, W) integer class ids -> (B*N, H/f, W/f) int32.
+    Matches /root/reference/exps/sgv3d/...r50...py:258-275.
+    """
+    b, n, h, w = gt_semantic.shape
+    x = gt_semantic.reshape(b * n, h // factor, factor, w // factor, factor)
+    return jnp.max(x, axis=(2, 4)).astype(jnp.int32)
+
+
+def semantic_loss(cfg: ExpConfig, aux_preds, gt_semantic: jnp.ndarray) -> jnp.ndarray:
+    """Two-scale semantic focal loss (BSM path).
+
+    aux_preds: (semantic0 (BN, H16, W16, S), semantic1 (BN, H8, W8, S)).
+    gt_semantic: (B, N, H, W) class ids at input resolution.
+    """
+    semantic0, semantic1 = aux_preds
+    up0 = resize_bilinear(semantic0.astype(jnp.float32), scale=2,
+                          align_corners=False)
+    factor = cfg.backbone.downsample_factor // 2
+    labels = downsample_semantic_labels(gt_semantic, factor)
+    loss0 = multiclass_focal_loss(up0, labels)
+    loss1 = multiclass_focal_loss(semantic1.astype(jnp.float32), labels)
+    return (loss0 + loss1) / 2.0
+
+
+def train_loss(cfg: ExpConfig, preds, aux, gt_boxes, gt_labels,
+               gt_semantic=None):
+    """Total training loss.
+
+    Args:
+      preds: task-head outputs.
+      aux: backbone aux outputs (semantic logits for BSM).
+      gt_boxes: (B, K, 9); gt_labels: (B, K) with -1 padding.
+      gt_semantic: optional (B, N, H, W) class-id masks.
+
+    Returns: (loss, metrics dict).
+    """
+    targets = get_targets(cfg.head, gt_boxes, gt_labels)
+    det_loss, metrics = head_loss(cfg.head, targets, preds)
+    metrics["detection_loss"] = det_loss
+    total = det_loss
+    if cfg.is_train_height and cfg.backbone.is_bsm and gt_semantic is not None:
+        sem = semantic_loss(cfg, aux, gt_semantic)
+        metrics["semantic_loss"] = sem
+        total = total + cfg.semantic_loss_weight * sem
+    metrics["total_loss"] = total
+    return total, metrics

@@ -1,0 +1,158 @@
+"""Image -> BEV backbones: LSSFPN (BEVHeight) and BSMLSSFPN (SGV3D).
+
+TPU-first design notes vs the reference
+(/root/reference/layers/backbones/lss_fpn.py:253-550, bsm_lss_fpn.py:322-614):
+  * NHWC layouts end-to-end; convs run in an optional compute dtype (bf16)
+    while geometry, softmax and pooling stay fp32 (mirrors the reference's
+    autocast(False) guards).
+  * The lift ("height ⊗ context") and splat (voxel pooling) are fused in
+    `lift_splat_pool` — the (B, C, D, fH, fW) tensor the reference
+    materialises never exists here.
+  * Geometry is computed in-graph from the static frustum; no host sync.
+"""
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from sgv3d_tpu import geom
+from sgv3d_tpu.config import BackboneConfig
+from sgv3d_tpu.nn.blocks import conv
+from sgv3d_tpu.nn.height_net import HeightNet
+from sgv3d_tpu.nn.msct_head import MSCThead
+from sgv3d_tpu.nn.resnet import ResNet
+from sgv3d_tpu.nn.second_fpn import SECONDFPN
+from sgv3d_tpu.ops.voxel_pooling import flatten_voxel_index, lift_splat_pool
+
+
+def _lift_and_splat(cfg: BackboneConfig, height_prob, tran_feat, mats, sweep):
+    """Shared geometry + fused pooling. height_prob (BN, fH, fW, D),
+    tran_feat (BN, fH, fW, C) -> (B, Y, X, C) fp32."""
+    b = mats["sensor2ego_mats"].shape[0]
+    n = mats["sensor2ego_mats"].shape[2]
+    f_h, f_w = cfg.feat_hw
+    d = cfg.num_height_bins
+    grid = cfg.voxel_grid
+    num_y, num_x = int(grid.voxel_num[1]), int(grid.voxel_num[0])
+
+    frustum = jnp.asarray(
+        geom.make_frustum(cfg.final_dim, cfg.effective_downsample, cfg.d_bound))
+    points = geom.get_geometry(
+        frustum,
+        mats["sensor2ego_mats"][:, sweep],
+        mats["sensor2virtual_mats"][:, sweep],
+        mats["intrin_mats"][:, sweep],
+        mats["ida_mats"][:, sweep],
+        mats["reference_heights"][:, sweep],
+        mats.get("bda_mat"),
+    )
+    vox = geom.geometry_to_voxel(points, grid)          # (B, N, D, fH, fW, 3)
+    cell = flatten_voxel_index(vox, tuple(grid.voxel_num))
+    cell = cell.reshape(b * n, d, f_h * f_w)
+
+    hp = height_prob.astype(jnp.float32).transpose(0, 3, 1, 2)  # (BN, D, fH, fW)
+    hp = hp.reshape(b * n, d, f_h * f_w)
+    ctx = tran_feat.astype(jnp.float32).reshape(b * n, f_h * f_w, -1)
+    bev = lift_splat_pool(hp, ctx, cell, b, num_y * num_x)
+    return bev.reshape(b, num_y, num_x, -1)
+
+
+class LSSFPN(nn.Module):
+    """BEVHeight backbone: ResNet + SECONDFPN -> HeightNet -> lift-splat."""
+    cfg: BackboneConfig
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, sweep_imgs, mats: Mapping[str, Any], train: bool):
+        """sweep_imgs: (B, S, N, H, W, 3). Returns bev (B, Y, X, C) fp32 and,
+        in train-height mode, the (assist, assist) aux features pair."""
+        cfg = self.cfg
+        b, s, n = sweep_imgs.shape[:3]
+        backbone = ResNet(cfg.resnet_depth, out_indices=(0, 1, 2, 3),
+                          dtype=self.dtype, name="img_backbone")
+        neck = SECONDFPN(cfg.img_neck_out_channels, (0.25, 0.5, 1, 2),
+                         dtype=self.dtype, name="img_neck")
+        height_net = HeightNet(
+            mid_channels=cfg.height_net_mid_channels[0],
+            context_channels=cfg.output_channels,
+            height_channels=cfg.num_height_bins,
+            dtype=self.dtype, name="height_net")
+        assist_layer = conv(256, 1, dtype=self.dtype, name="assist_layer")
+
+        mlp_input = geom.camera_mlp_input(
+            mats["intrin_mats"][:, 0], mats["ida_mats"][:, 0],
+            mats["sensor2ego_mats"][:, 0], mats["bda_mat"])
+
+        def single_sweep(sweep):
+            imgs = sweep_imgs[:, sweep].reshape(
+                b * n, *sweep_imgs.shape[3:]).astype(self.dtype or jnp.float32)
+            feat = neck(backbone(imgs, train), train)     # (BN, fH, fW, 512)
+            assist = assist_layer(feat)
+            h_logits, context = height_net(feat, mlp_input, train)
+            height = jax.nn.softmax(h_logits.astype(jnp.float32), axis=-1)
+            bev = _lift_and_splat(cfg, height, context, mats, sweep)
+            return bev, assist
+
+        bev, assist = single_sweep(0)
+        maps = [bev]
+        for sweep in range(1, s):
+            maps.append(jax.lax.stop_gradient(single_sweep(sweep)[0]))
+        out = jnp.concatenate(maps, axis=-1) if s > 1 else bev
+        return out, (assist, assist)
+
+
+class BSMLSSFPN(nn.Module):
+    """SGV3D backbone: two-scale necks, MSCThead, background suppression."""
+    cfg: BackboneConfig
+    dtype: jnp.dtype | None = None
+    bg_threshold: float = 0.45
+
+    @nn.compact
+    def __call__(self, sweep_imgs, mats: Mapping[str, Any], train: bool):
+        """Returns bev (B, Y, X, C+S) fp32 and (semantic0, semantic1) logits."""
+        cfg = self.cfg
+        b, s, n = sweep_imgs.shape[:3]
+        backbone = ResNet(cfg.resnet_depth, out_indices=(0, 1, 2, 3),
+                          dtype=self.dtype, name="img_backbone")
+        neck16 = SECONDFPN(cfg.img_neck_out_channels, (0.25, 0.5, 1, 2),
+                           dtype=self.dtype, name="img_neck_16")
+        neck8 = SECONDFPN(cfg.img_neck_out_channels, (0.5, 1, 2, 4),
+                          dtype=self.dtype, name="img_neck_8")
+        msct = MSCThead(
+            mid_channels=tuple(cfg.height_net_mid_channels),
+            depth_channels=cfg.num_height_bins,
+            semantic_channels=cfg.semantic_channels,
+            context_channels=cfg.output_channels,
+            dtype=self.dtype, name="height_net")
+
+        mlp_input = geom.camera_mlp_input(
+            mats["intrin_mats"][:, 0], mats["ida_mats"][:, 0],
+            mats["sensor2ego_mats"][:, 0], mats["bda_mat"])
+
+        def single_sweep(sweep):
+            imgs = sweep_imgs[:, sweep].reshape(
+                b * n, *sweep_imgs.shape[3:]).astype(self.dtype or jnp.float32)
+            feats = backbone(imgs, train)
+            f16 = neck16(feats, train)
+            f8 = neck8(feats, train)
+            depth1, semantic1, context1, semantic0 = msct(
+                [f16, f8], mlp_input, train)
+            height = jax.nn.softmax(depth1.astype(jnp.float32), axis=-1)
+            semantic = jax.nn.softmax(semantic1.astype(jnp.float32), axis=-1)
+            tran_feat = jnp.concatenate(
+                [context1.astype(jnp.float32), semantic], axis=-1)
+            # Background suppression: zero features where P(background) > thr.
+            keep = (semantic[..., 0:1] <= self.bg_threshold).astype(jnp.float32)
+            tran_feat = tran_feat * keep
+            bev = _lift_and_splat(cfg, height, tran_feat, mats, sweep)
+            return bev, (semantic0, semantic1)
+
+        bev, aux = single_sweep(0)
+        maps = [bev]
+        for sweep in range(1, s):
+            maps.append(jax.lax.stop_gradient(single_sweep(sweep)[0]))
+        out = jnp.concatenate(maps, axis=-1) if s > 1 else bev
+        return out, aux

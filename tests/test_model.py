@@ -1,0 +1,90 @@
+"""End-to-end model tests on tiny configs: forward shapes, loss, grads."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sgv3d_tpu.data.synthetic import make_batch
+from sgv3d_tpu.decode import decode
+from sgv3d_tpu.models.bev_height import BEVHeight, train_loss
+from tests.tiny_configs import tiny_exp
+
+
+def _init_model(cfg, imgs, mats, train):
+    model = BEVHeight(cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(imgs), {k: jnp.asarray(v) for k, v in mats.items()}, train)
+    return model, variables
+
+
+@pytest.mark.parametrize("is_bsm", [False, True])
+def test_forward_shapes(is_bsm):
+    cfg = tiny_exp(is_bsm)
+    imgs, mats, *_ = make_batch(cfg, batch=2, num_objs=4)
+    model, variables = _init_model(cfg, imgs, mats, False)
+    preds, aux = model.apply(
+        variables, jnp.asarray(imgs),
+        {k: jnp.asarray(v) for k, v in mats.items()}, False)
+    w, h = cfg.head.feature_map_size
+    assert len(preds) == 2
+    assert preds[0]["heatmap"].shape == (2, h, w, 1)
+    assert preds[1]["heatmap"].shape == (2, h, w, 2)
+    assert preds[0]["reg"].shape == (2, h, w, 2)
+    assert preds[0]["dim"].shape == (2, h, w, 3)
+    if is_bsm:
+        sem0, sem1 = aux
+        fh, fw = cfg.backbone.final_dim
+        assert sem0.shape == (2, fh // 16, fw // 16, cfg.backbone.semantic_channels)
+        assert sem1.shape == (2, fh // 8, fw // 8, cfg.backbone.semantic_channels)
+    for p in preds:
+        for v in p.values():
+            assert np.all(np.isfinite(np.asarray(v)))
+
+
+@pytest.mark.parametrize("is_bsm", [False, True])
+def test_train_loss_and_grads(is_bsm):
+    cfg = tiny_exp(is_bsm)
+    imgs, mats, gt_boxes, gt_labels, gt_semantic = make_batch(
+        cfg, batch=1, num_objs=3)
+    model, variables = _init_model(cfg, imgs, mats, True)
+    params = variables["params"]
+    other = {k: v for k, v in variables.items() if k != "params"}
+    jmats = {k: jnp.asarray(v) for k, v in mats.items()}
+
+    def loss_fn(p):
+        (preds, aux), _ = model.apply(
+            {"params": p, **other}, jnp.asarray(imgs), jmats, True,
+            rngs={"dropout": jax.random.PRNGKey(2)},
+            mutable=["batch_stats"])
+        loss, metrics = train_loss(
+            cfg, preds, aux, jnp.asarray(gt_boxes), jnp.asarray(gt_labels),
+            jnp.asarray(gt_semantic) if is_bsm else None)
+        return loss, metrics
+
+    (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(loss))
+    assert float(loss) > 0
+    if is_bsm:
+        assert "semantic_loss" in metrics
+    # Gradients reach the image backbone and the head.
+    leaves = jax.tree_util.tree_leaves(grads)
+    norms = [float(jnp.abs(g).sum()) for g in leaves]
+    assert sum(n > 0 for n in norms) > len(norms) * 0.5, "too many zero grads"
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    bb = [jnp.abs(v).sum() for p, v in flat if "img_backbone" in str(p)]
+    hd = [jnp.abs(v).sum() for p, v in flat if "task0_heatmap" in str(p)]
+    assert sum(map(float, bb)) > 0
+    assert sum(map(float, hd)) > 0
+
+
+def test_eval_path_decodes():
+    cfg = tiny_exp(False)
+    imgs, mats, *_ = make_batch(cfg, batch=1, num_objs=3)
+    model, variables = _init_model(cfg, imgs, mats, False)
+    preds, _ = model.apply(
+        variables, jnp.asarray(imgs),
+        {k: jnp.asarray(v) for k, v in mats.items()}, False)
+    dets = decode(cfg.head, preds)
+    assert dets.boxes.shape == (1, 2 * cfg.head.post_max_size, 9)
+    assert np.all(np.isfinite(np.asarray(dets.boxes)))

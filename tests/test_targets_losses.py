@@ -1,0 +1,156 @@
+"""Target generation + loss tests against straightforward numpy oracles."""
+import jax.numpy as jnp
+import numpy as np
+
+from sgv3d_tpu.heads.losses import gaussian_focal_loss, head_loss
+from sgv3d_tpu.heads.targets import gaussian_radius, get_targets
+from sgv3d_tpu.losses.focal import (
+    binary_focal_loss_with_logits, multiclass_focal_loss)
+from sgv3d_tpu.losses.dice import dice_loss
+from tests.tiny_configs import tiny_head
+
+
+def _np_gaussian_radius(height, width, min_overlap):
+    a1 = 1
+    b1 = height + width
+    c1 = width * height * (1 - min_overlap) / (1 + min_overlap)
+    sq1 = np.sqrt(b1**2 - 4 * a1 * c1)
+    r1 = (b1 + sq1) / 2
+    a2 = 4
+    b2 = 2 * (height + width)
+    c2 = (1 - min_overlap) * width * height
+    sq2 = np.sqrt(b2**2 - 4 * a2 * c2)
+    r2 = (b2 + sq2) / 2
+    a3 = 4 * min_overlap
+    b3 = -2 * min_overlap * (height + width)
+    c3 = (min_overlap - 1) * width * height
+    sq3 = np.sqrt(b3**2 - 4 * a3 * c3)
+    r3 = (b3 + sq3) / 2
+    return min(r1, r2, r3)
+
+
+def test_gaussian_radius_matches_reference_formula():
+    for h, w in [(3.0, 2.0), (10.0, 4.0), (1.0, 1.0), (25.0, 12.0)]:
+        got = float(gaussian_radius((jnp.float32(h), jnp.float32(w)), 0.1))
+        expect = _np_gaussian_radius(h, w, 0.1)
+        assert abs(got - expect) < 1e-4, (h, w, got, expect)
+
+
+def test_get_targets_single_object():
+    cfg = tiny_head()
+    k = cfg.max_objs
+    gt_boxes = np.zeros((1, k, 9), np.float32)
+    gt_labels = np.full((1, k), -1, np.int32)
+    # One car at (8.0, 3.2) -> feature-map coords (8/1.6, (3.2+12.8)/1.6) = (5, 10)
+    gt_boxes[0, 0] = [8.0, 3.2, -0.5, 4.0, 2.0, 1.5, 0.3, 0.1, -0.2]
+    gt_labels[0, 0] = 0
+
+    t = get_targets(cfg, jnp.asarray(gt_boxes), jnp.asarray(gt_labels))
+    hm_car = np.asarray(t.heatmaps[0])  # (1, 16, 16, 1)
+    assert hm_car.shape == (1, 16, 16, 1)
+    assert hm_car[0, 10, 5, 0] == 1.0  # peak at the centre
+    assert hm_car.max() == 1.0
+    # second task untouched
+    assert np.asarray(t.heatmaps[1]).max() == 0.0
+
+    np.testing.assert_array_equal(np.asarray(t.masks[0])[0, :2], [1, 0])
+    assert int(t.inds[0, 0]) == 10 * 16 + 5
+    anno = np.asarray(t.anno_boxes)[0, 0]
+    np.testing.assert_allclose(anno[0], 8.0 / 1.6 - 5, atol=1e-5)
+    np.testing.assert_allclose(anno[2], -0.5, atol=1e-6)
+    np.testing.assert_allclose(anno[3:6], np.log([4.0, 2.0, 1.5]), atol=1e-5)
+    np.testing.assert_allclose(anno[6], np.sin(0.3), atol=1e-6)
+    np.testing.assert_allclose(anno[7], np.cos(0.3), atol=1e-6)
+    np.testing.assert_allclose(anno[8:], [0.1, -0.2], atol=1e-6)
+
+
+def test_get_targets_task_split_and_oob():
+    cfg = tiny_head()
+    k = cfg.max_objs
+    gt_boxes = np.zeros((1, k, 9), np.float32)
+    gt_labels = np.full((1, k), -1, np.int32)
+    gt_boxes[0, 0] = [8.0, 0.0, 0, 2, 2, 2, 0, 0, 0]   # car
+    gt_boxes[0, 1] = [12.0, 4.0, 0, 1, 1, 2, 0, 0, 0]  # pedestrian (task 1)
+    gt_boxes[0, 2] = [100.0, 0.0, 0, 2, 2, 2, 0, 0, 0]  # out of range
+    gt_labels[0, :3] = [0, 1, 0]
+    t = get_targets(cfg, jnp.asarray(gt_boxes), jnp.asarray(gt_labels))
+    np.testing.assert_array_equal(np.asarray(t.masks[0])[0, :3], [1, 0, 0])
+    np.testing.assert_array_equal(np.asarray(t.masks[1])[0, :3], [0, 1, 0])
+    # pedestrian heatmap channel 0 of task 1
+    hm1 = np.asarray(t.heatmaps[1])
+    assert hm1[0, :, :, 0].max() == 1.0
+    assert hm1[0, :, :, 1].max() == 0.0
+
+
+def test_gaussian_focal_loss_basics():
+    pred = jnp.asarray([[0.9, 0.1]], jnp.float32)
+    target = jnp.asarray([[1.0, 0.0]], jnp.float32)
+    loss = np.asarray(gaussian_focal_loss(pred, target))
+    # positive: -(log .9) * .1^2 ; negative: -(log .9) * .1^2
+    expect_pos = -np.log(0.9) * 0.01
+    expect_neg = -np.log(0.9) * 0.01
+    np.testing.assert_allclose(loss[0], [expect_pos, expect_neg], rtol=1e-5)
+
+
+def test_head_loss_perfect_prediction_low():
+    """Loss with predictions matching targets should be much lower than noise."""
+    cfg = tiny_head()
+    k = cfg.max_objs
+    rng = np.random.default_rng(0)
+    gt_boxes = np.zeros((1, k, 9), np.float32)
+    gt_labels = np.full((1, k), -1, np.int32)
+    gt_boxes[0, 0] = [8.0, 3.2, -0.5, 4.0, 2.0, 1.5, 0.3, 0.0, 0.0]
+    gt_labels[0, 0] = 0
+    t = get_targets(cfg, jnp.asarray(gt_boxes), jnp.asarray(gt_labels))
+
+    h, w = cfg.feature_map_size[1], cfg.feature_map_size[0]
+
+    def preds_from_targets(noise):
+        preds = []
+        anno = np.zeros((1, h, w, 10), np.float32)
+        ind = int(t.inds[0, 0])
+        anno[0, ind // w, ind % w] = np.asarray(t.anno_boxes)[0, 0]
+        for ti in range(2):
+            hm = np.asarray(t.heatmaps[ti])
+            logit = np.log(np.clip(hm, 1e-4, 1 - 1e-4) /
+                           (1 - np.clip(hm, 1e-4, 1 - 1e-4)))
+            p = {"heatmap": jnp.asarray(logit + noise * rng.normal(size=logit.shape)),
+                 "reg": jnp.asarray(anno[..., 0:2]),
+                 "height": jnp.asarray(anno[..., 2:3]),
+                 "dim": jnp.asarray(anno[..., 3:6]),
+                 "rot": jnp.asarray(anno[..., 6:8]),
+                 "vel": jnp.asarray(anno[..., 8:10])}
+            preds.append(p)
+        return preds
+
+    loss_good, _ = head_loss(cfg, t, preds_from_targets(0.0))
+    loss_bad, _ = head_loss(cfg, t, preds_from_targets(4.0))
+    assert float(loss_good) < 0.1 * float(loss_bad)
+    assert float(loss_good) < 0.2
+
+
+def test_binary_focal_matches_manual():
+    logits = jnp.asarray([2.0, -1.0, 0.5])
+    targets = jnp.asarray([1.0, 0.0, 1.0])
+    got = float(binary_focal_loss_with_logits(logits, targets))
+    p = 1 / (1 + np.exp(-np.asarray(logits)))
+    t = np.asarray(targets)
+    logpt = -(t * np.log(p) + (1 - t) * np.log(1 - p))
+    pt = np.exp(-logpt)
+    loss = (1 - pt) ** 2 * logpt * (0.25 * t + 0.75 * (1 - t))
+    assert abs(got - loss.mean()) < 1e-6
+
+
+def test_multiclass_focal_prefers_correct():
+    labels = jnp.asarray([[0, 1], [2, 1]])
+    good = jnp.zeros((2, 2, 3)).at[
+        jnp.arange(2)[:, None], jnp.arange(2)[None], labels].set(8.0) - 4.0
+    bad = -good
+    assert float(multiclass_focal_loss(good, labels)) < float(
+        multiclass_focal_loss(bad, labels))
+
+
+def test_dice_loss():
+    pred = jnp.asarray([1.0, 0.0, 1.0])
+    assert float(dice_loss(pred, pred)) < 1e-5
+    assert float(dice_loss(pred, 1 - pred)) > 0.99
