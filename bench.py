@@ -1,0 +1,76 @@
+"""Benchmark: BEVHeight-r101 inference images/sec on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The baseline is CPU PyTorch images/sec for the same compute graph, measured
+once by tools/measure_torch_baseline.py and cached in BENCH_BASELINE.json
+(driver target: >= 5x, /root/repo/BASELINE.json).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BATCH = int(os.environ.get("BENCH_BATCH", "8"))
+ITERS = int(os.environ.get("BENCH_ITERS", "10"))
+
+
+def main():
+    from sgv3d_tpu.configs import get_exp
+    from sgv3d_tpu.data.synthetic import make_batch
+    from sgv3d_tpu.decode import decode
+    from sgv3d_tpu.models.bev_height import BEVHeight
+
+    cfg = get_exp("bevheight_dair_r101_128")
+    imgs, mats, *_ = make_batch(cfg, batch=BATCH, num_objs=8)
+    # bf16 backbone compute on TPU; fp32 on CPU fallback.
+    on_tpu = jax.devices()[0].platform != "cpu"
+    model = BEVHeight(cfg, dtype=jnp.bfloat16 if on_tpu else None)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(imgs[:1]), {k: jnp.asarray(v[:1]) for k, v in mats.items()},
+        False)
+
+    @jax.jit
+    def infer(variables, imgs, mats):
+        preds, _ = model.apply(variables, imgs, mats, False)
+        return decode(cfg.head, preds)
+
+    jimgs = jnp.asarray(imgs)
+    jmats = {k: jnp.asarray(v) for k, v in mats.items()}
+    # Warmup / compile. NOTE: on the axon TPU relay, block_until_ready does
+    # not actually synchronise — a host transfer of the output is the only
+    # reliable fence, so every timed iteration fetches the (small) scores.
+    out = infer(variables, jimgs, jmats)
+    np.asarray(out.scores)
+    out = infer(variables, jimgs, jmats)
+    np.asarray(out.scores)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = infer(variables, jimgs, jmats)
+        np.asarray(out.scores)
+    dt = time.perf_counter() - t0
+    ips = BATCH * ITERS / dt
+
+    baseline = None
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_BASELINE.json")
+    if os.path.exists(cache):
+        with open(cache) as f:
+            baseline = json.load(f).get("torch_cpu_images_per_sec")
+    vs = (ips / baseline) if baseline else None
+    print(json.dumps({
+        "metric": "bevheight_r101_infer_images_per_sec",
+        "value": round(ips, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

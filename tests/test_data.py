@@ -1,0 +1,141 @@
+"""Data pipeline tests: on-disk synthetic dataset -> batches."""
+import os
+import pickle
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from sgv3d_tpu.data.dataset import DataLoader, RoadSideDataset, collate
+from sgv3d_tpu.data.transforms import (
+    imnormalize, img_transform, sample_ida_augmentation)
+from sgv3d_tpu import geom
+
+IDA_CONF = {"final_dim": (96, 160), "H": 540, "W": 960,
+            "bot_pct_lim": (0.0, 0.0), "cams": ["CAM_FRONT"], "Ncams": 1}
+CLASSES = ("car", "pedestrian")
+
+
+def _make_fake_root(tmp_path, n_frames=4, with_masks=True):
+    root = tmp_path / "fake"
+    (root / "images").mkdir(parents=True)
+    (root / "training/mask_image").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    infos = []
+    for i in range(n_frames):
+        img = (rng.random((540, 960, 3)) * 255).astype(np.uint8)
+        Image.fromarray(img).save(root / "images" / f"{i:06d}.jpg")
+        if with_masks:
+            mask = (rng.integers(0, 7, (540, 960, 3)) * 40).astype(np.uint8)
+            np.save(root / "training/mask_image" / f"{i:06d}.npy", mask)
+        cam2ego_rot = (np.array([[0, 0, 1], [-1, 0, 0], [0, -1, 0]], float)
+                       @ geom.rodrigues(np.array([0.2, 0, 0])).T)
+        anns = []
+        for _ in range(3):
+            anns.append(dict(
+                category_name="vehicle.car",
+                translation=[rng.uniform(10, 60), rng.uniform(-10, 10), 0.5],
+                size=[1.9, 4.5, 1.6],  # w, l, h
+                rotation=[1.0, 0.0, 0.0, 0.0],
+                velocity=[0.0, 0.0, 0.0],
+                num_lidar_pts=5, num_radar_pts=0))
+        anns.append(dict(category_name="animal", translation=[5, 5, 0],
+                         size=[1, 1, 1], rotation=[1, 0, 0, 0],
+                         velocity=[0, 0, 0], num_lidar_pts=5,
+                         num_radar_pts=0))
+        infos.append(dict(
+            sample_token=f"{i:06d}",
+            scene_token="scene0",
+            cam_infos={"CAM_FRONT": dict(
+                filename=f"images/{i:06d}.jpg",
+                calibrated_sensor=dict(
+                    rotation_matrix=cam2ego_rot.tolist(),
+                    translation=[0.0, 0.0, 6.0],
+                    camera_intrinsic=[[1000, 0, 480], [0, 1000, 270],
+                                      [0, 0, 1]]),
+                ego_pose=dict(rotation=[1.0, 0, 0, 0],
+                              translation=[0.0, 0.0, 0.0]),
+                timestamp=0)},
+            sweeps=[],
+            ann_infos=anns))
+    with open(root / "infos_train.pkl", "wb") as f:
+        pickle.dump(infos, f)
+    return root
+
+
+def test_dataset_sample_shapes(tmp_path):
+    root = _make_fake_root(tmp_path)
+    ds = RoadSideDataset(IDA_CONF, CLASSES, str(root),
+                         str(root / "infos_train.pkl"), is_train=True,
+                         return_semantic=True, max_objs=16)
+    assert len(ds) == 4
+    s = ds[0]
+    assert s["imgs"].shape == (1, 1, 96, 160, 3)
+    assert s["sensor2ego_mats"].shape == (1, 1, 4, 4)
+    assert s["gt_boxes"].shape == (16, 9)
+    assert s["gt_semantic"].shape == (1, 96, 160)
+    assert s["gt_semantic"].max() <= 6
+    # 3 cars kept, the 'animal' (ignore) dropped
+    assert (s["gt_labels"] >= 0).sum() == 3
+    assert set(s["gt_labels"][s["gt_labels"] >= 0].tolist()) == {0}
+    # boxes are in range of the ego frame
+    valid = s["gt_boxes"][s["gt_labels"] >= 0]
+    assert valid[:, 0].min() > 0
+    # dims reordered to (l, w, h) = (4.5, 1.9, 1.6)
+    np.testing.assert_allclose(valid[0, 3:6], [4.5, 1.9, 1.6])
+
+
+def test_dataset_eval_mode_no_gt(tmp_path):
+    root = _make_fake_root(tmp_path, with_masks=False)
+    ds = RoadSideDataset(IDA_CONF, CLASSES, str(root),
+                         str(root / "infos_train.pkl"), is_train=False,
+                         max_objs=8)
+    s = ds[1]
+    assert (s["gt_labels"] == -1).all()
+    assert s["img_metas"]["token"] == "000001"
+
+
+def test_dataloader_batches(tmp_path):
+    root = _make_fake_root(tmp_path)
+    ds = RoadSideDataset(IDA_CONF, CLASSES, str(root),
+                         str(root / "infos_train.pkl"), is_train=True,
+                         return_semantic=True, max_objs=8)
+    dl = DataLoader(ds, batch_size=2, shuffle=True, drop_last=True)
+    batches = list(dl)
+    assert len(batches) == 2
+    imgs, mats, gt_boxes, gt_labels, gt_semantic, metas = batches[0]
+    assert imgs.shape == (2, 1, 1, 96, 160, 3)
+    assert mats["intrin_mats"].shape == (2, 1, 1, 4, 4)
+    assert mats["reference_heights"].shape == (2, 1, 1)
+    assert gt_boxes.shape == (2, 8, 9)
+    assert gt_semantic.shape == (2, 1, 96, 160)
+    assert len(metas) == 2
+
+
+def test_ida_resize_crop_consistency():
+    resize, resize_dims, crop, flip, rot = sample_ida_augmentation(IDA_CONF)
+    # 960x540 -> final (96, 160): resize = max(96/540, 160/960) = 96/540
+    assert abs(resize - 96 / 540) < 1e-9
+    assert resize_dims == (170, 96)
+    # crop is bottom-anchored, width-centred: ((170-160)/2, 96-96, ...)
+    assert crop == (5, 0, 165, 96)
+
+
+def test_imnormalize_channel_reversal():
+    img = np.zeros((2, 2, 3), np.uint8)
+    img[..., 0] = 100  # R channel in the loaded RGB array
+    mean = np.array([10.0, 20.0, 30.0])
+    std = np.array([1.0, 2.0, 4.0])
+    out = imnormalize(img, mean, std, to_rgb=True)
+    # channel reversal puts the 100s into the last channel
+    np.testing.assert_allclose(out[0, 0, 2], (100 - 30.0) / 4.0)
+    np.testing.assert_allclose(out[0, 0, 0], (0 - 10.0) / 1.0)
+
+
+def test_reference_height_plausible(tmp_path):
+    root = _make_fake_root(tmp_path, with_masks=False)
+    ds = RoadSideDataset(IDA_CONF, CLASSES, str(root),
+                         str(root / "infos_train.pkl"), is_train=False)
+    s = ds[0]
+    # camera mounted 6 m up, pitched 0.2 rad: reference height ~ 6 m
+    assert 5.0 < float(s["reference_heights"][0, 0]) < 7.0

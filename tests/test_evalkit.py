@@ -1,0 +1,279 @@
+"""Eval stack tests: C++ kernels vs independent oracles + end-to-end AP."""
+import math
+import os
+
+import numpy as np
+import pytest
+
+from sgv3d_tpu.evalkit import native
+from sgv3d_tpu.evalkit.eval_ap import get_thresholds, kitti_eval
+from sgv3d_tpu.evalkit.kitti_common import get_label_anno, get_label_annos
+from sgv3d_tpu.evalkit.kitti_writer import (
+    kitti_root_calib, lidar_corners, result2kitti)
+
+
+# --- independent rotated-intersection oracle (Sutherland-Hodgman) ---------
+
+def _box_corners(cx, cy, w, h, angle):
+    # clockwise rotation convention of the reference rbbox_to_corners
+    c, s = math.cos(angle), math.sin(angle)
+    pts = []
+    for dx, dy in [(-w / 2, -h / 2), (-w / 2, h / 2), (w / 2, h / 2),
+                   (w / 2, -h / 2)]:
+        pts.append((c * dx + s * dy + cx, -s * dx + c * dy + cy))
+    return pts
+
+
+def _clip_polygon(subject, clip):
+    def inside(p, a, b):
+        return ((b[0] - a[0]) * (p[1] - a[1]) -
+                (b[1] - a[1]) * (p[0] - a[0])) <= 1e-12
+
+    def intersect(p1, p2, a, b):
+        x1, y1 = p1
+        x2, y2 = p2
+        x3, y3 = a
+        x4, y4 = b
+        den = (x1 - x2) * (y3 - y4) - (y1 - y2) * (x3 - x4)
+        t = ((x1 - x3) * (y3 - y4) - (y1 - y3) * (x3 - x4)) / den
+        return (x1 + t * (x2 - x1), y1 + t * (y2 - y1))
+
+    # ensure clip polygon is counterclockwise-consistent for `inside`
+    area2 = sum((clip[i][0] * clip[(i + 1) % 4][1] -
+                 clip[(i + 1) % 4][0] * clip[i][1]) for i in range(4))
+    if area2 > 0:
+        clip = clip[::-1]
+    output = subject
+    for i in range(len(clip)):
+        a, b = clip[i], clip[(i + 1) % len(clip)]
+        input_pts, output = output, []
+        if not input_pts:
+            break
+        for j, p in enumerate(input_pts):
+            q = input_pts[(j + 1) % len(input_pts)]
+            if inside(q, a, b):
+                if not inside(p, a, b):
+                    output.append(intersect(p, q, a, b))
+                output.append(q)
+            elif inside(p, a, b):
+                output.append(intersect(p, q, a, b))
+    return output
+
+
+def _poly_area(pts):
+    n = len(pts)
+    return abs(sum(pts[i][0] * pts[(i + 1) % n][1] -
+                   pts[(i + 1) % n][0] * pts[i][1] for i in range(n))) / 2
+
+
+def _oracle_riou(b1, b2):
+    c1 = _box_corners(*b1)
+    c2 = _box_corners(*b2)
+    inter = _poly_area(_clip_polygon(c1, c2)) if _clip_polygon(c1, c2) else 0.0
+    a1, a2 = b1[2] * b1[3], b2[2] * b2[3]
+    return inter / (a1 + a2 - inter)
+
+
+def test_rotate_iou_near_identical():
+    # Exactly identical rotated boxes are degenerate (corner-on-edge ties
+    # fail in fp32, matching the reference numba kernel, which also returns
+    # 0 for that case); nearly identical boxes must give IoU ~ 1.
+    a = np.array([[1.0, 2.0, 4.0, 2.0, 0.3]], np.float32)
+    b = a.copy()
+    b[0, 0] += 1e-3
+    iou = native.rotate_iou_eval(a, b)
+    np.testing.assert_allclose(iou, [[1.0]], atol=1e-2)
+
+
+def test_rotate_iou_axis_aligned():
+    a = np.array([[0.0, 0.0, 2.0, 2.0, 0.0]], np.float32)
+    b = np.array([[1.0, 0.0, 2.0, 2.0, 0.0]], np.float32)
+    iou = native.rotate_iou_eval(a, b)
+    # inter 1x2=2; union 4+4-2=6
+    np.testing.assert_allclose(iou, [[2.0 / 6.0]], atol=1e-5)
+
+
+def test_rotate_iou_disjoint():
+    a = np.array([[0.0, 0.0, 1.0, 1.0, 0.5]], np.float32)
+    b = np.array([[10.0, 10.0, 1.0, 1.0, 1.0]], np.float32)
+    assert float(native.rotate_iou_eval(a, b)[0, 0]) == 0.0
+
+
+def test_rotate_iou_matches_clipping_oracle(rng):
+    boxes = np.stack([
+        rng.uniform(-5, 5, 20), rng.uniform(-5, 5, 20),
+        rng.uniform(0.5, 4, 20), rng.uniform(0.5, 4, 20),
+        rng.uniform(-np.pi, np.pi, 20)], axis=1).astype(np.float32)
+    qboxes = np.stack([
+        rng.uniform(-5, 5, 15), rng.uniform(-5, 5, 15),
+        rng.uniform(0.5, 4, 15), rng.uniform(0.5, 4, 15),
+        rng.uniform(-np.pi, np.pi, 15)], axis=1).astype(np.float32)
+    got = native.rotate_iou_eval(boxes, qboxes)
+    for i in range(boxes.shape[0]):
+        for j in range(qboxes.shape[0]):
+            expect = _oracle_riou(boxes[i], qboxes[j])
+            assert abs(float(got[i, j]) - expect) < 2e-3, (i, j)
+
+
+def test_d3_overlap_near_identical_and_offset():
+    # camera frame: [x, y, z, l, h, w, ry]; y down, height extends -y
+    b = np.array([[1.0, 1.5, 10.0, 4.0, 1.5, 2.0, 0.2]])
+    b_eps = b.copy()
+    b_eps[0, 0] += 1e-4
+    np.testing.assert_allclose(native.d3_box_overlap(b, b_eps), [[1.0]],
+                               atol=1e-3)
+    b2 = b_eps.copy()
+    b2[0, 1] += 0.75  # half-height offset in y
+    iou = float(native.d3_box_overlap(b, b2)[0, 0])
+    np.testing.assert_allclose(iou, 0.5 / 1.5, atol=1e-3)
+
+
+def test_image_box_overlap_criteria():
+    a = np.array([[0.0, 0.0, 2.0, 2.0]])
+    b = np.array([[1.0, 0.0, 3.0, 2.0]])
+    np.testing.assert_allclose(native.image_box_overlap(a, b, -1),
+                               [[2.0 / 6.0]], atol=1e-9)
+    np.testing.assert_allclose(native.image_box_overlap(a, b, 0),
+                               [[2.0 / 4.0]], atol=1e-9)
+
+
+def test_compute_statistics_simple_tp_fn_fp():
+    # 2 gts; det matches gt0 well, nothing matches gt1 -> tp=1, fn=1
+    overlaps = np.array([[0.9, 0.0], [0.0, 0.1]])  # (det, gt)
+    gt = np.array([[0, 0, 10, 50, 0.0], [0, 0, 10, 50, 0.0]])
+    dt = np.array([[0, 0, 10, 50, 0.0, 0.8], [0, 0, 10, 50, 0.0, 0.6]])
+    ig_gt = np.zeros(2, np.int64)
+    ig_dt = np.zeros(2, np.int64)
+    dc = np.zeros((0, 4))
+    tp, fp, fn, sim, th = native.compute_statistics(
+        overlaps, gt, dt, ig_gt, ig_dt, dc, 2, 0.5, 0.0, compute_fp=False)
+    assert (tp, fn) == (1, 1)
+    np.testing.assert_allclose(th, [0.8])
+    tp, fp, fn, sim, th = native.compute_statistics(
+        overlaps, gt, dt, ig_gt, ig_dt, dc, 2, 0.5, 0.0, compute_fp=True)
+    assert (tp, fp, fn) == (1, 1, 1)
+
+
+def test_get_thresholds_r40():
+    scores = np.linspace(0.9, 0.1, 50)
+    th = get_thresholds(scores.copy(), 50)
+    assert len(th) <= 41
+    assert th[0] == pytest.approx(0.9)
+    assert (np.diff(th) <= 0).all()
+
+
+def _write_gt_label(path, objs):
+    with open(path, "w") as f:
+        for o in objs:
+            f.write(" ".join(str(v) for v in o) + "\n")
+
+
+def _make_gt_objs(rng, n):
+    objs = []
+    for _ in range(n):
+        x = rng.uniform(-10, 10)
+        z = rng.uniform(10, 60)
+        y = 1.5
+        h, w, l = 1.5, 1.8, 4.2
+        ry = rng.uniform(-np.pi, np.pi)
+        # tall enough 2D bbox for "easy": height > 40 px
+        objs.append(["Car", 0.0, 0, 0.5, 100.0, 100.0, 200.0, 200.0,
+                     h, w, l, round(x, 2), round(y, 2), round(z, 2),
+                     round(ry, 2)])
+    return objs
+
+
+def test_kitti_eval_perfect_predictions(tmp_path, rng):
+    gt_dir = tmp_path / "gt"
+    pred_dir = tmp_path / "pred"
+    gt_dir.mkdir()
+    pred_dir.mkdir()
+    # Enough GT to fill all 41 recall sample points (R40 needs num_gt >= ~41
+    # to reach 100 even with perfect predictions — true of the reference too).
+    score = 0.99
+    for idx in range(10):
+        objs = _make_gt_objs(rng, 10)
+        _write_gt_label(gt_dir / f"{idx:06d}.txt", objs)
+        # tiny x offset: exactly identical rotated boxes are degenerate in the
+        # fp32 clipping kernel (as in the reference)
+        preds = []
+        for o in objs:
+            p = list(o)
+            p[11] = round(p[11] + 1e-3, 4)
+            preds.append(p + [round(score, 4)])
+            score -= 0.003
+        _write_gt_label(pred_dir / f"{idx:06d}.txt", preds)
+    pred_annos, ids = get_label_annos(str(pred_dir), return_ids=True)
+    gt_annos = get_label_annos(str(gt_dir), image_ids=ids)
+    result, ret = kitti_eval(gt_annos, pred_annos, ["Car"], metric="R40")
+    assert ret["KITTI/Car_3D_easy_strict"] == pytest.approx(100.0, abs=0.1)
+    assert ret["KITTI/Car_3D_moderate_strict"] == pytest.approx(100.0, abs=0.1)
+    assert "Car AP@0.70, 0.70, 0.70:" in result
+
+
+def test_kitti_eval_degrades_with_noise(tmp_path, rng):
+    gt_dir = tmp_path / "gt"
+    pred_dir = tmp_path / "pred"
+    gt_dir.mkdir()
+    pred_dir.mkdir()
+    for idx in range(4):
+        objs = _make_gt_objs(rng, 6)
+        _write_gt_label(gt_dir / f"{idx:06d}.txt", objs)
+        preds = []
+        for i, o in enumerate(objs):
+            p = list(o)
+            if i % 2 == 0:
+                p[11] = round(p[11] + 3.0, 2)  # shift x by 3 m -> miss
+            else:
+                p[11] = round(p[11] + 1e-3, 4)  # avoid exact-identity IoU
+            preds.append(p + [0.9 - 0.01 * i])
+        _write_gt_label(pred_dir / f"{idx:06d}.txt", preds)
+    pred_annos, ids = get_label_annos(str(pred_dir), return_ids=True)
+    gt_annos = get_label_annos(str(gt_dir), image_ids=ids)
+    _, ret = kitti_eval(gt_annos, pred_annos, ["Car"], metric="R40")
+    ap = ret["KITTI/Car_3D_moderate_strict"]
+    # Half the predictions miss and scores interleave: recall caps at 0.5 and
+    # precision ~0.5, so AP lands far below perfect but above zero.
+    assert 5.0 < ap < 60.0
+
+
+def test_result2kitti_roundtrip(tmp_path):
+    # calib: identity extrinsics-ish with camera at origin looking +z
+    calib_dir = tmp_path / "root" / "training" / "calib"
+    calib_dir.mkdir(parents=True)
+    P2 = "P2: 1000 0 960 0 0 1000 540 0 0 0 1 0"
+    # lidar x forward, y left, z up -> camera x right, y down, z forward
+    tr = "Tr_velo_to_cam: 0 -1 0 0 0 0 -1 5 1 0 0 0"
+    (calib_dir / "000007.txt").write_text(P2 + "\n" + tr + "\n")
+
+    results = {"000007": [dict(
+        translation=[30.0, 2.0, -1.0], size=[1.8, 4.2, 1.5], box_yaw=0.3,
+        detection_score=0.9, detection_name="car")]}
+    out_dir = result2kitti(results, str(tmp_path / "out"),
+                           kitti_root_calib(str(tmp_path / "root")))
+    anno = get_label_anno(os.path.join(out_dir, "000007.txt"))
+    assert anno["name"][0] == "Car"
+    assert anno["score"][0] == pytest.approx(0.9)
+    # location = velo2cam @ [30, 2, -1]: x=-y=-2, y=-z+5=6, z=x=30
+    np.testing.assert_allclose(anno["location"][0], [-2.0, 6.0, 30.0],
+                               atol=1e-3)
+    # rotation written as pi/2 - yaw
+    assert anno["rotation_y"][0] == pytest.approx(np.pi / 2 - 0.3, abs=1e-3)
+    # dims parsed with the reference reorder: file (h, l, w) -> (w, h, l)
+    np.testing.assert_allclose(anno["dimensions"][0], [1.8, 1.5, 4.2],
+                               atol=1e-3)
+    # below-threshold predictions are dropped
+    results["000007"][0]["detection_score"] = 0.3
+    out_dir2 = result2kitti(results, str(tmp_path / "out2"),
+                            kitti_root_calib(str(tmp_path / "root")))
+    anno2 = get_label_anno(os.path.join(out_dir2, "000007.txt"))
+    assert len(anno2["name"]) == 0
+
+
+def test_lidar_corners_geometry():
+    corners = lidar_corners([4.0, 2.0, 1.5], 0.0, [10.0, 5.0, 0.0])
+    assert corners.shape == (8, 3)
+    np.testing.assert_allclose(corners[:, 0].min(), 8.0)
+    np.testing.assert_allclose(corners[:, 0].max(), 12.0)
+    np.testing.assert_allclose(corners[:, 2].min(), 0.0)
+    np.testing.assert_allclose(corners[:, 2].max(), 1.5)
