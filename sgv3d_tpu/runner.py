@@ -1,0 +1,198 @@
+"""Experiment runner: train / evaluate an ExpConfig end-to-end.
+
+The TPU-native equivalent of the reference's per-exp LightningModule + Trainer
+(/root/reference/exps/sgv3d/...r50...py:195-535): dataset + loader, jit SPMD
+train step over the data mesh, per-epoch checkpoints, metrics JSONL, and the
+--evaluate path that decodes the val set and runs the KITTI evaluator.
+"""
+from __future__ import annotations
+
+import glob
+import os
+import time
+from typing import Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sgv3d_tpu import dist
+from sgv3d_tpu.config import ExpConfig
+from sgv3d_tpu.data.dataset import DataLoader, RoadSideDataset
+from sgv3d_tpu.models.bev_height import BEVHeight
+from sgv3d_tpu.train.checkpoint import CheckpointManager
+from sgv3d_tpu.train.loop import (
+    TrainState, create_train_state, make_eval_step, make_train_step)
+from sgv3d_tpu.train.metrics import MetricsLogger
+from sgv3d_tpu.train.optim import make_optimizer
+from sgv3d_tpu.train.sharding import make_mesh, shard_batch
+from sgv3d_tpu.evalkit.evaluator import RoadSideEvaluator
+
+IDA_AUG_CONF = {"final_dim": (864, 1536), "H": 1080, "W": 1920,
+                "bot_pct_lim": (0.0, 0.0), "cams": ["CAM_FRONT"], "Ncams": 1}
+
+
+def default_info_paths(cfg: ExpConfig, data_root: str):
+    """Train/val info pkl resolution incl. the SSDG auto-switch
+    (reference :412: prefer *_train_ssdg.pkl when present)."""
+    candidates = {
+        "rope3d-kitti": ("rope3d_12hz_infos_train_dair.pkl",
+                         "rope3d_12hz_infos_train_ssdg.pkl",
+                         "rope3d_12hz_infos_val_dair.pkl"),
+        "dair-v2x-i": ("dair_12hz_infos_train.pkl", None,
+                       "dair_12hz_infos_val.pkl"),
+        "rope3d": ("rope3d_12hz_infos_train.pkl", None,
+                   "rope3d_12hz_infos_val.pkl"),
+    }
+    for key, (train, ssdg, val) in candidates.items():
+        if key in data_root:
+            train_path = os.path.join(data_root, train)
+            if ssdg and os.path.exists(os.path.join(data_root, ssdg)):
+                train_path = os.path.join(data_root, ssdg)
+            return train_path, os.path.join(data_root, val)
+    return (os.path.join(data_root, "infos_train.pkl"),
+            os.path.join(data_root, "infos_val.pkl"))
+
+
+def build_model(cfg: ExpConfig, use_bf16: bool = True) -> BEVHeight:
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    return BEVHeight(cfg, dtype=jnp.bfloat16 if (use_bf16 and on_tpu) else None)
+
+
+def _ida_conf(cfg: ExpConfig):
+    conf = dict(IDA_AUG_CONF)
+    conf["final_dim"] = cfg.backbone.final_dim
+    return conf
+
+
+def train(cfg: ExpConfig, data_root: str | None = None,
+          output_dir: str | None = None, max_steps: int | None = None,
+          resume: bool = True, ckpt_every_epochs: int = 3,
+          train_info_path: str | None = None, seed: int = 0,
+          num_devices: int | None = None):
+    data_root = data_root or cfg.data_root
+    output_dir = output_dir or os.path.join("outputs", cfg.name)
+    info_path, _ = default_info_paths(cfg, data_root)
+    info_path = train_info_path or info_path
+
+    n_dev = num_devices or jax.local_device_count()
+    dataset = RoadSideDataset(
+        _ida_conf(cfg), cfg.classes, data_root, info_path, is_train=True,
+        return_semantic=cfg.backbone.is_bsm and cfg.is_train_height,
+        max_objs=cfg.head.max_objs, seed=seed)
+    loader = DataLoader(dataset, cfg.batch_size_per_device * n_dev,
+                        shuffle=True, drop_last=True, seed=seed)
+    if len(loader) == 0:
+        raise ValueError(
+            f"dataset ({len(dataset)} samples) smaller than the global batch "
+            f"({cfg.batch_size_per_device} x {n_dev} devices)")
+    steps_per_epoch = max(1, len(loader))
+
+    mesh = make_mesh(n_dev)
+    model = build_model(cfg)
+    tx, schedule = make_optimizer(cfg, jax.device_count(), steps_per_epoch)
+
+    sample = next(iter(DataLoader(dataset, 1, prefetch=False)))
+    state = create_train_state(model, cfg, tx, (sample[0], sample[1]),
+                               seed=seed)
+    ckpt = CheckpointManager(os.path.join(output_dir, "checkpoints"))
+    if resume and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        print(f"resumed from step {ckpt.latest_step()}")
+    logger = MetricsLogger(os.path.join(output_dir, "metrics.jsonl"))
+    train_step = make_train_step(model, cfg, tx, mesh=mesh)
+
+    step = int(jax.device_get(state.step))
+    total_steps = max_steps or cfg.max_epochs * steps_per_epoch
+    epoch = step // steps_per_epoch
+    while step < total_steps:
+        for batch in loader:
+            imgs, mats, gt_boxes, gt_labels, gt_semantic, _ = batch
+            args = (jnp.asarray(imgs),
+                    {k: jnp.asarray(v) for k, v in mats.items()},
+                    jnp.asarray(gt_boxes), jnp.asarray(gt_labels),
+                    jnp.asarray(gt_semantic) if gt_semantic is not None
+                    else None)
+            sharded = shard_batch(mesh, args)
+            state, metrics = train_step(state, *sharded)
+            step += 1
+            logger.log(step, metrics, lr=schedule(step),
+                       epoch=step / steps_per_epoch)
+            if step >= total_steps:
+                break
+        epoch = step // steps_per_epoch
+        if epoch % ckpt_every_epochs == 0 or step >= total_steps:
+            ckpt.save(state)
+    ckpt.save(state, wait=True)
+    logger.close()
+    return state
+
+
+def evaluate(cfg: ExpConfig, ckpt_path: str | None = None,
+             data_root: str | None = None, output_dir: str | None = None,
+             val_info_path: str | None = None, state: TrainState | None = None,
+             max_batches: int | None = None, num_devices: int | None = None):
+    data_root = data_root or cfg.data_root
+    output_dir = output_dir or os.path.join("outputs", cfg.name)
+    _, val_info = default_info_paths(cfg, data_root)
+    val_info = val_info_path or val_info
+
+    n_dev = num_devices or jax.local_device_count()
+    dataset = RoadSideDataset(
+        _ida_conf(cfg), cfg.classes, data_root, val_info, is_train=False,
+        max_objs=cfg.head.max_objs)
+    loader = DataLoader(dataset, cfg.batch_size_per_device * n_dev)
+
+    mesh = make_mesh(n_dev)
+    model = build_model(cfg)
+    if state is None:
+        tx, _ = make_optimizer(cfg, 1, 1)
+        sample = next(iter(DataLoader(dataset, 1, prefetch=False)))
+        state = create_train_state(model, cfg, tx, (sample[0], sample[1]))
+        if ckpt_path:
+            state = CheckpointManager(ckpt_path).restore(state)
+    eval_step = make_eval_step(model, cfg, mesh=mesh)
+
+    global_batch = cfg.batch_size_per_device * n_dev
+    results, img_metas = [], []
+    for bi, batch in enumerate(loader):
+        if max_batches is not None and bi >= max_batches:
+            break
+        imgs, mats, _, _, _, metas = batch
+        n_real = imgs.shape[0]
+        if n_real < global_batch:
+            # pad the ragged final batch by repeating the last sample (the
+            # DistributedSampler-padding equivalent; padding is dropped below)
+            pad = global_batch - n_real
+            imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, 0)])
+            mats = {k: np.concatenate([v, np.repeat(v[-1:], pad, 0)])
+                    for k, v in mats.items()}
+        args = shard_batch(mesh, (jnp.asarray(imgs),
+                                  {k: jnp.asarray(v) for k, v in mats.items()}))
+        dets = eval_step(state.params, state.batch_stats, *args)
+        boxes = np.asarray(dets.boxes)
+        scores = np.asarray(dets.scores)
+        labels = np.asarray(dets.labels)
+        valid = np.asarray(dets.valid)
+        for i in range(n_real):
+            m = valid[i]
+            results.append([boxes[i][m], scores[i][m], labels[i][m]])
+            img_metas.append(metas[i])
+
+    dist.synchronize()
+    results = sum(map(list, zip(*dist.all_gather_object(results))), []) \
+        if dist.get_world_size() > 1 else results
+    img_metas = sum(map(list, zip(*dist.all_gather_object(img_metas))), []) \
+        if dist.get_world_size() > 1 else img_metas
+    results = results[:len(dataset)]
+    img_metas = img_metas[:len(dataset)]
+
+    if dist.get_rank() == 0:
+        evaluator = RoadSideEvaluator(
+            class_names=cfg.classes,
+            current_classes=["Car", "Pedestrian", "Cyclist"],
+            data_root=data_root,
+            gt_label_path=os.path.join(data_root, "training/label_eval"),
+            output_dir=output_dir)
+        return evaluator.evaluate(results, img_metas)
+    return None

@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""Train / evaluate CLI.
+
+Mirrors the reference exp-file flags
+(/root/reference/exps/sgv3d/...r50...py:496-535):
+  python tools/train.py sgv3d_r50_128 [-e] [-b N] [--ckpt_path P]
+      [--data_root D] [--val_info_path P] [--seed S] [--max_steps N]
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("exp", help="experiment name (see sgv3d_tpu.configs)")
+    parser.add_argument("-e", "--evaluate", action="store_true")
+    parser.add_argument("-b", "--batch_size_per_device", type=int)
+    parser.add_argument("--ckpt_path", type=str, default=None)
+    parser.add_argument("--data_root", type=str, default=None)
+    parser.add_argument("--val_info_path", type=str, default=None)
+    parser.add_argument("--train_info_path", type=str, default=None)
+    parser.add_argument("--output_dir", type=str, default=None)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--max_steps", type=int, default=None)
+    parser.add_argument("--no_resume", action="store_true")
+    args = parser.parse_args()
+
+    from sgv3d_tpu.configs import get_exp
+    from sgv3d_tpu import runner
+
+    cfg = get_exp(args.exp)
+    if args.batch_size_per_device:
+        cfg = dataclasses.replace(
+            cfg, batch_size_per_device=args.batch_size_per_device)
+    if args.evaluate:
+        cfg = dataclasses.replace(cfg, is_train_height=False)
+        runner.evaluate(cfg, ckpt_path=args.ckpt_path,
+                        data_root=args.data_root,
+                        output_dir=args.output_dir,
+                        val_info_path=args.val_info_path)
+    else:
+        runner.train(cfg, data_root=args.data_root,
+                     output_dir=args.output_dir,
+                     max_steps=args.max_steps,
+                     resume=not args.no_resume,
+                     train_info_path=args.train_info_path,
+                     seed=args.seed)
+
+
+if __name__ == "__main__":
+    main()
