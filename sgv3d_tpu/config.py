@@ -25,6 +25,10 @@ class BackboneConfig:
     height_net_mid_channels: tuple[int, int] = (512, 256)
     semantic_channels: int = 7
     is_bsm: bool = False
+    # Deployment knob: pool only the top-k height bins per pixel (None =
+    # exact, all bins). The DID softmax concentrates its mass in a few bins,
+    # so k ~ 16 cuts the BEV scatter ~6x with negligible output change.
+    lift_top_k: int | None = None
 
     @property
     def voxel_grid(self) -> VoxelGrid:

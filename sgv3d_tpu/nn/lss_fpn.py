@@ -56,6 +56,9 @@ def _lift_and_splat(cfg: BackboneConfig, height_prob, tran_feat, mats, sweep):
     hp = height_prob.astype(jnp.float32).transpose(0, 3, 1, 2)  # (BN, D, fH, fW)
     hp = hp.reshape(b * n, d, f_h * f_w)
     ctx = tran_feat.astype(jnp.float32).reshape(b * n, f_h * f_w, -1)
+    if cfg.lift_top_k is not None:
+        from sgv3d_tpu.ops.voxel_pooling import topk_lift_inputs
+        hp, cell = topk_lift_inputs(hp, cell, cfg.lift_top_k)
     bev = lift_splat_pool(hp, ctx, cell, b, num_y * num_x)
     return bev.reshape(b, num_y, num_x, -1)
 
