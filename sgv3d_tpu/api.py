@@ -1,0 +1,71 @@
+"""User-facing inference API, drop-in shaped like the reference model.
+
+The reference's `BEVHeight(...).forward(sweep_imgs, mats_dict)` takes NCHW
+images (B, num_sweeps, num_cams, 3, H, W) and a dict of 4x4 mats, and
+`get_bboxes` returns per-sample [boxes9, scores, labels]
+(/root/reference/models/bev_height.py:42-126). `BEVHeightPredictor` keeps that
+surface: NCHW in, per-sample numpy detections out, jit under the hood.
+"""
+from __future__ import annotations
+
+from typing import Any, List, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sgv3d_tpu.config import ExpConfig
+from sgv3d_tpu.decode import decode
+from sgv3d_tpu.models.bev_height import BEVHeight
+
+
+class BEVHeightPredictor:
+    """Jit-compiled end-to-end inference: images + calib -> 3D boxes."""
+
+    def __init__(self, cfg: ExpConfig, variables: Mapping[str, Any],
+                 use_bf16: bool = True):
+        self.cfg = cfg
+        on_tpu = jax.devices()[0].platform not in ("cpu",)
+        self.model = BEVHeight(
+            cfg, dtype=jnp.bfloat16 if (use_bf16 and on_tpu) else None)
+        self.variables = variables
+
+        @jax.jit
+        def _infer(variables, imgs, mats):
+            preds, _ = self.model.apply(variables, imgs, mats, False)
+            return decode(cfg.head, preds)
+
+        self._infer = _infer
+
+    def __call__(self, sweep_imgs: np.ndarray,
+                 mats_dict: Mapping[str, np.ndarray]) -> List[list]:
+        """sweep_imgs: (B, S, N, 3, H, W) NCHW (reference convention) or
+        (B, S, N, H, W, 3) NHWC. Returns per-sample
+        [boxes (M, 9), scores (M,), labels (M,)] numpy arrays."""
+        imgs = np.asarray(sweep_imgs)
+        if imgs.shape[3] == 3 and imgs.shape[-1] != 3:
+            imgs = np.transpose(imgs, (0, 1, 2, 4, 5, 3))  # NCHW -> NHWC
+        dets = self._infer(self.variables, jnp.asarray(imgs),
+                           {k: jnp.asarray(v) for k, v in mats_dict.items()})
+        boxes = np.asarray(dets.boxes)
+        scores = np.asarray(dets.scores)
+        labels = np.asarray(dets.labels)
+        valid = np.asarray(dets.valid)
+        return [[boxes[i][valid[i]], scores[i][valid[i]], labels[i][valid[i]]]
+                for i in range(boxes.shape[0])]
+
+
+def load_predictor(cfg: ExpConfig, ckpt_path: str) -> BEVHeightPredictor:
+    """Build a predictor from an orbax checkpoint directory."""
+    from sgv3d_tpu.data.synthetic import make_batch
+    from sgv3d_tpu.train.checkpoint import CheckpointManager
+    from sgv3d_tpu.train.loop import create_train_state
+    from sgv3d_tpu.train.optim import make_optimizer
+
+    model = BEVHeight(cfg)
+    tx, _ = make_optimizer(cfg, 1, 1)
+    imgs, mats, *_ = make_batch(cfg, batch=1, num_objs=1)
+    state = create_train_state(model, cfg, tx, (imgs, mats))
+    state = CheckpointManager(ckpt_path).restore(state)
+    return BEVHeightPredictor(
+        cfg, {"params": state.params, "batch_stats": state.batch_stats})

@@ -1,3 +1,4 @@
-from sgv3d_tpu.models.bev_height import BEVHeight, train_loss, semantic_loss
+from sgv3d_tpu.models.bev_height import (
+    BEVHeight, embed_loss, semantic_loss, train_loss)
 
-__all__ = ["BEVHeight", "train_loss", "semantic_loss"]
+__all__ = ["BEVHeight", "embed_loss", "semantic_loss", "train_loss"]

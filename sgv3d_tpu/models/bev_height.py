@@ -67,15 +67,34 @@ def semantic_loss(cfg: ExpConfig, aux_preds, gt_semantic: jnp.ndarray) -> jnp.nd
     return (loss0 + loss1) / 2.0
 
 
+def embed_loss(aux_preds, gt_embeds: jnp.ndarray) -> jnp.ndarray:
+    """Embedding-distillation aux for the non-BSM BEVHeight variant: MSE of
+    the assist features against (SAM) embedding maps, x1000
+    (/root/reference/exps/bevheight/dair-v2x/...r50...py:247-256; a latent
+    path in the reference — its dataset never produces the embeds — exposed
+    here as a working hook).
+
+    aux_preds: (assist, assist) with assist (B*N, h16, w16, 256);
+    gt_embeds: (B, N, h16, w16, 256).
+    """
+    assist = aux_preds[0].astype(jnp.float32)
+    b, n = gt_embeds.shape[:2]
+    target = gt_embeds.reshape(b * n, *gt_embeds.shape[2:]).astype(jnp.float32)
+    return jnp.mean((assist - target) ** 2) * 1000.0
+
+
 def train_loss(cfg: ExpConfig, preds, aux, gt_boxes, gt_labels,
-               gt_semantic=None):
+               gt_semantic=None, gt_embeds=None):
     """Total training loss.
 
     Args:
       preds: task-head outputs.
-      aux: backbone aux outputs (semantic logits for BSM).
+      aux: backbone aux outputs (semantic logits for BSM; assist features
+        otherwise).
       gt_boxes: (B, K, 9); gt_labels: (B, K) with -1 padding.
-      gt_semantic: optional (B, N, H, W) class-id masks.
+      gt_semantic: optional (B, N, H, W) class-id masks (BSM semantic aux).
+      gt_embeds: optional (B, N, h16, w16, C) embedding maps (non-BSM
+        distillation aux).
 
     Returns: (loss, metrics dict).
     """
@@ -87,5 +106,10 @@ def train_loss(cfg: ExpConfig, preds, aux, gt_boxes, gt_labels,
         sem = semantic_loss(cfg, aux, gt_semantic)
         metrics["semantic_loss"] = sem
         total = total + cfg.semantic_loss_weight * sem
+    if (cfg.is_train_height and not cfg.backbone.is_bsm
+            and gt_embeds is not None):
+        emb = embed_loss(aux, gt_embeds)
+        metrics["depth_loss"] = emb
+        total = total + emb
     metrics["total_loss"] = total
     return total, metrics

@@ -51,7 +51,7 @@ def make_train_step(model: BEVHeight, cfg: ExpConfig,
     sharded over the data axis and state as replicated."""
 
     def step_fn(state: TrainState, imgs, mats, gt_boxes, gt_labels,
-                gt_semantic):
+                gt_semantic, gt_embeds=None):
         def loss_fn(params):
             (preds, aux), new_vars = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
@@ -60,7 +60,7 @@ def make_train_step(model: BEVHeight, cfg: ExpConfig,
                     jax.random.PRNGKey(0), state.step)},
                 mutable=["batch_stats"])
             loss, metrics = train_loss(cfg, preds, aux, gt_boxes, gt_labels,
-                                       gt_semantic)
+                                       gt_semantic, gt_embeds)
             return loss, (metrics, new_vars["batch_stats"])
 
         grads, (metrics, new_bs) = jax.grad(loss_fn, has_aux=True)(state.params)

@@ -88,3 +88,43 @@ def test_eval_path_decodes():
     dets = decode(cfg.head, preds)
     assert dets.boxes.shape == (1, 2 * cfg.head.post_max_size, 9)
     assert np.all(np.isfinite(np.asarray(dets.boxes)))
+
+
+def test_multi_sweep_forward():
+    """num_sweeps=2: past sweep concatenated on channels, key frame grads only."""
+    import dataclasses
+    cfg = tiny_exp(False)
+    # head must accept doubled BEV channels
+    cfg = dataclasses.replace(
+        cfg, head=dataclasses.replace(cfg.head, bev_backbone_in_channels=32))
+    imgs, mats, *_ = make_batch(cfg, batch=1, num_objs=2)
+    imgs2 = np.concatenate([imgs, imgs], axis=1)           # (B, 2, N, H, W, 3)
+    mats2 = {k: (np.concatenate([v, v], axis=1)
+                 if k not in ("bda_mat",) else v) for k, v in mats.items()}
+    model = BEVHeight(cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(imgs2), {k: jnp.asarray(v) for k, v in mats2.items()},
+        False)
+    preds, _ = model.apply(
+        variables, jnp.asarray(imgs2),
+        {k: jnp.asarray(v) for k, v in mats2.items()}, False)
+    assert np.isfinite(np.asarray(preds[0]["heatmap"])).all()
+
+
+def test_predictor_api_nchw():
+    """Drop-in predictor accepts reference-convention NCHW images."""
+    from sgv3d_tpu.api import BEVHeightPredictor
+    cfg = tiny_exp(False)
+    imgs, mats, *_ = make_batch(cfg, batch=2, num_objs=2)
+    model, variables = _init_model(cfg, imgs, mats, False)
+    predictor = BEVHeightPredictor(cfg, variables, use_bf16=False)
+    nchw = np.transpose(imgs, (0, 1, 2, 5, 3, 4))
+    results = predictor(nchw, mats)
+    assert len(results) == 2
+    boxes, scores, labels = results[0]
+    assert boxes.ndim == 2 and boxes.shape[1] == 9
+    assert scores.shape == labels.shape
+    # NHWC input gives the same output
+    results2 = predictor(imgs, mats)
+    np.testing.assert_allclose(results2[0][0], boxes, atol=1e-5)

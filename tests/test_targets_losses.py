@@ -154,3 +154,18 @@ def test_dice_loss():
     pred = jnp.asarray([1.0, 0.0, 1.0])
     assert float(dice_loss(pred, pred)) < 1e-5
     assert float(dice_loss(pred, 1 - pred)) > 0.99
+
+
+def test_embed_loss_and_train_loss_hook():
+    import dataclasses
+    import jax
+    from sgv3d_tpu.models.bev_height import embed_loss, train_loss
+    from tests.tiny_configs import tiny_exp
+    rng = np.random.default_rng(0)
+    assist = jnp.asarray(rng.normal(size=(2, 4, 6, 8)), jnp.float32)
+    embeds = np.asarray(assist).reshape(2, 1, 4, 6, 8)
+    # identical embeds -> zero loss; shifted -> 1000 * mse
+    assert float(embed_loss((assist, assist), jnp.asarray(embeds))) < 1e-6
+    shifted = embeds + 0.1
+    got = float(embed_loss((assist, assist), jnp.asarray(shifted)))
+    np.testing.assert_allclose(got, 1000 * 0.01, rtol=1e-4)
