@@ -211,3 +211,27 @@ def test_gen_unlabeled_split(tmp_path):
     out = rope3d.gen_unlabeled_split(target, sets)
     # frames with fx 2110, 2120 are unlabeled scenes
     assert sorted(out) == ["000001", "000002"]
+
+
+def test_pcd2bin_ascii_and_binary(tmp_path):
+    from converters.pcd import pcd2bin, read_pcd
+    pts = np.array([[1.0, 2.0, 3.0, 128.0], [4.0, 5.0, 6.0, 255.0]],
+                   np.float32)
+    header = ("VERSION 0.7\nFIELDS x y z intensity\nSIZE 4 4 4 4\n"
+              "TYPE F F F F\nCOUNT 1 1 1 1\nWIDTH 2\nHEIGHT 1\n"
+              "VIEWPOINT 0 0 0 1 0 0 0\nPOINTS 2\n")
+    ascii_path = tmp_path / "a.pcd"
+    with open(ascii_path, "w") as f:
+        f.write(header + "DATA ascii\n")
+        for row in pts:
+            f.write(" ".join(str(v) for v in row) + "\n")
+    bin_pcd_path = tmp_path / "b.pcd"
+    with open(bin_pcd_path, "wb") as f:
+        f.write((header + "DATA binary\n").encode())
+        f.write(pts.tobytes())
+    for src in (ascii_path, bin_pcd_path):
+        out = tmp_path / (src.stem + ".bin")
+        pcd2bin(str(src), str(out))
+        arr = np.fromfile(out, np.float32).reshape(-1, 4)
+        np.testing.assert_allclose(arr[:, :3], pts[:, :3])
+        np.testing.assert_allclose(arr[:, 3], pts[:, 3] / 255.0)
