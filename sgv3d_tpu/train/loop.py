@@ -70,7 +70,10 @@ def make_train_step(model: BEVHeight, cfg: ExpConfig,
         new_state = TrainState(state.step + 1, new_params, new_bs, new_opt)
         return new_state, metrics
 
-    if mesh is None:
+    # Sharding annotations are only meaningful on multi-device meshes; on a
+    # single device they force a pathological host-mediated resharding path
+    # through the TPU relay (~95 s/step vs 0.3 s with plain jit).
+    if mesh is None or mesh.size == 1:
         return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
     bs = batch_sharding(mesh)
@@ -93,7 +96,7 @@ def make_eval_step(model: BEVHeight, cfg: ExpConfig,
             {"params": params, "batch_stats": batch_stats}, imgs, mats, False)
         return decode(cfg.head, preds)
 
-    if mesh is None:
+    if mesh is None or mesh.size == 1:
         return jax.jit(step_fn)
     bs = batch_sharding(mesh)
     rep = replicated(mesh)
