@@ -55,11 +55,9 @@ def _kernel(keys_ref, vals_ref, out_ref, acc_ref, sem):
     # chunk's span is ~cells * CHUNK / P, so this is 1 for dense regions.
     num_windows = (last - k0a) // WINDOW + 1
     win_iota = jax.lax.broadcasted_iota(jnp.int32, (WINDOW, SUB), 0)
-
-    # bf16x2 split: the one-hot is exact in bf16; splitting the values into
-    # high/low bf16 halves recovers ~fp32 precision from two bf16 MXU passes.
-    hi = vals.astype(jnp.bfloat16)
-    lo = (vals - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    # Values arrive bf16 (the context itself comes from bf16 convs); the
+    # one-hot is exact in bf16 and the MXU accumulates in fp32.
+    vals_b = vals.astype(jnp.bfloat16)
     dn = (((1,), (0,)), ((), ()))
 
     def window_pass(w, _):
@@ -68,13 +66,9 @@ def _kernel(keys_ref, vals_ref, out_ref, acc_ref, sem):
         for s in range(CHUNK // SUB):
             rel_row = keys2[s:s + 1, :] - base              # (1, SUB)
             onehot_t = (rel_row == win_iota).astype(jnp.bfloat16)
-            local = (local
-                     + jax.lax.dot_general(
-                         onehot_t, hi[s * SUB:(s + 1) * SUB, :], dn,
-                         preferred_element_type=jnp.float32)
-                     + jax.lax.dot_general(
-                         onehot_t, lo[s * SUB:(s + 1) * SUB, :], dn,
-                         preferred_element_type=jnp.float32))
+            local = local + jax.lax.dot_general(
+                onehot_t, vals_b[s * SUB:(s + 1) * SUB, :], dn,
+                preferred_element_type=jnp.float32)
         cur = acc_ref[pl.ds(base, WINDOW), :]
         acc_ref[pl.ds(base, WINDOW), :] = cur + local
         return 0
@@ -137,28 +131,26 @@ def pallas_lift_splat_forward(height: jnp.ndarray, context: jnp.ndarray,
     keys = cell_index.reshape(n, p)
     h_flat = height.reshape(n, p)
 
+    num_chunks = -(-p // CHUNK)
+    p_pad = num_chunks * CHUNK
+    c_pad = -(-c // 128) * 128  # 128-lane tile so the accumulator DMA aligns
+
     def prep(k, h, ctx):
         sk, order = jax.lax.sort_key_val(k, jnp.arange(p, dtype=jnp.int32))
         h_sorted = jnp.take(h, order)
         pix = order % hw
-        vals = h_sorted[:, None] * jnp.take(ctx, pix, axis=0)  # (P, C) gather
-        return sk, vals
+        # Gather + scale in one pass, directly into the padded bf16 buffer
+        # (padded points carry zero values; padded keys repeat the maximum so
+        # chunk spans stay tight).
+        vals = (h_sorted[:, None] * jnp.take(ctx, pix, axis=0)
+                ).astype(jnp.bfloat16)
+        vals_p = jnp.zeros((p_pad, c_pad), jnp.bfloat16)
+        vals_p = jax.lax.dynamic_update_slice(vals_p, vals, (0, 0))
+        sk_p = jnp.full((p_pad,), sk[-1], jnp.int32)
+        sk_p = jax.lax.dynamic_update_slice(sk_p, sk, (0,))
+        return sk_p, vals_p
 
     sk, vals = jax.vmap(prep)(keys, h_flat, context.astype(jnp.float32))
-
-    num_chunks = -(-p // CHUNK)
-    pad = num_chunks * CHUNK - p
-    if pad:
-        # pad with the last (maximal) key and zero values: contributes nothing
-        sk = jnp.concatenate([sk, jnp.repeat(sk[:, -1:], pad, axis=1)], axis=1)
-        vals = jnp.concatenate(
-            [vals, jnp.zeros((n, pad, c), vals.dtype)], axis=1)
-    # pad channels to the 128-lane tile so the accumulator DMA is aligned
-    c_pad = -(-c // 128) * 128
-    if c_pad != c:
-        vals = jnp.concatenate(
-            [vals, jnp.zeros((n, vals.shape[1], c_pad - c), vals.dtype)],
-            axis=-1)
     sk = sk.reshape(n, num_chunks, 8, SUB)
     vals = vals.reshape(n, num_chunks, CHUNK, c_pad)
 

@@ -20,7 +20,9 @@ def _interpret(monkeypatch):
     monkeypatch.setattr(pls.pl, "pallas_call", patched)
 
 
-def _compare(n, d, hw, c, cells, cell_gen, rng, tol=2e-4):
+def _compare(n, d, hw, c, cells, cell_gen, rng, tol=6e-3):
+    # tolerance is bf16-level: the kernel multiplies bf16 values (matching
+    # the bf16 conv outputs feeding it) with fp32 accumulation
     height = jnp.asarray(rng.random((n, d, hw)), jnp.float32)
     ctx = jnp.asarray(rng.normal(size=(n, hw, c)), jnp.float32)
     cell = jnp.asarray(cell_gen((n, d, hw)), jnp.int32)
@@ -58,4 +60,4 @@ def test_multi_camera_batch(rng):
     # 2 batches x 2 cams: camera grids must sum per batch
     out = np.asarray(pls.pallas_lift_splat_forward(height, ctx, cell, 2, cells))
     ref = np.asarray(lift_splat_pool(height, ctx, cell, 2, cells, 3))
-    np.testing.assert_allclose(out, ref, atol=2e-4 * max(1, np.abs(ref).max()))
+    np.testing.assert_allclose(out, ref, atol=6e-3 * max(1, np.abs(ref).max()))
