@@ -192,7 +192,20 @@ def evaluate(cfg: ExpConfig, ckpt_path: str | None = None,
             class_names=cfg.classes,
             current_classes=["Car", "Pedestrian", "Cyclist"],
             data_root=data_root,
-            gt_label_path=os.path.join(data_root, "training/label_eval"),
+            gt_label_path=default_gt_label_path(data_root),
             output_dir=output_dir)
         return evaluator.evaluate(results, img_metas)
     return None
+
+
+def default_gt_label_path(data_root: str) -> str:
+    """GT label dir per dataset (reference exp conventions): rope3d trees use
+    the class-merged `label_eval`; DAIR evaluates against the KITTI-format
+    tree's `label_2` (for raw dair roots, the sibling `dair-v2x-i-kitti`)."""
+    root = data_root.rstrip("/")
+    if "rope3d" in root:
+        return os.path.join(root, "training/label_eval")
+    if root.endswith("dair-v2x-i"):
+        sibling = os.path.join(os.path.dirname(root), "dair-v2x-i-kitti")
+        return os.path.join(sibling, "training/label_2")
+    return os.path.join(root, "training/label_2")
