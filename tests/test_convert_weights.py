@@ -111,28 +111,33 @@ def test_name_mapping_spot_checks():
     assert key == "model.head.task_heads.0.reg.0.bn.running_mean"
 
 
-@pytest.mark.slow
-def test_full_bevheight_mapping_coverage():
-    """Every param/batch_stat of a BEVHeight (non-BSM) model must map to a
-    torch key, and a synthetic state_dict with those names fills the tree."""
+def _make_coverage_cfg(is_bsm: bool):
     from sgv3d_tpu.config import BackboneConfig, ExpConfig, HeadConfig, Task
-    from sgv3d_tpu.data.synthetic import make_batch
-    from sgv3d_tpu.models.bev_height import BEVHeight
 
     backbone = BackboneConfig(
         x_bound=(0.0, 25.6, 1.6), y_bound=(-12.8, 12.8, 1.6),
         d_bound=(-2.0, 0.0, 8), final_dim=(64, 96), output_channels=16,
         resnet_depth=50, img_neck_out_channels=(8, 8, 8, 8),
-        height_net_mid_channels=(32, 16), is_bsm=False)
+        height_net_mid_channels=(32, 16),
+        semantic_channels=4, is_bsm=is_bsm)
     head = HeadConfig(
         tasks=(Task(("car",)), Task(("pedestrian", "cyclist"))),
-        bev_backbone_in_channels=16, bev_backbone_base_channels=16,
+        bev_backbone_in_channels=20 if is_bsm else 16,
+        bev_backbone_base_channels=16,
         bev_neck_out_channels=(8, 8, 8, 8), share_conv_channels=16,
         point_cloud_range=(0, -12.8, -5, 25.6, 12.8, 3),
         grid_size=(64, 64, 1), voxel_size=(0.4, 0.4, 8), max_objs=8,
         max_per_task=16, post_max_size=8, nms_min_radius=(4.0, 0.5))
-    cfg = ExpConfig(name="conv_test", backbone=backbone, head=head,
-                    classes=("car", "pedestrian", "cyclist"))
+    return ExpConfig(name="conv_test", backbone=backbone, head=head,
+                     classes=("car", "pedestrian", "cyclist"))
+
+
+def _mapping_coverage_check(cfg, is_bsm: bool):
+    """Every param/batch_stat of the model must map to a torch key, and a
+    synthetic state_dict with those names fills the tree."""
+    from sgv3d_tpu.data.synthetic import make_batch
+    from sgv3d_tpu.models.bev_height import BEVHeight
+
     imgs, mats, *_ = make_batch(cfg, batch=1, num_objs=1)
     model = BEVHeight(cfg)
     variables = model.init(
@@ -146,7 +151,7 @@ def test_full_bevheight_mapping_coverage():
         flat = jax.tree_util.tree_flatten_with_path(variables[collection])[0]
         for keypath, val in flat:
             names = tuple(getattr(k, "key", str(k)) for k in keypath)
-            mapped = flax_path_to_torch(names)
+            mapped = flax_path_to_torch(names, is_bsm=is_bsm)
             assert mapped is not None, (collection, names)
             torch_key, tfn = mapped
             # synthesize a torch tensor of the transposed-back shape
@@ -168,7 +173,7 @@ def test_full_bevheight_mapping_coverage():
             state_dict[torch_key] = src
 
     new_vars, used, missing = convert_state_dict(
-        state_dict, dict(variables), strict=True)
+        state_dict, dict(variables), strict=True, is_bsm=is_bsm)
     assert not missing
     assert len(used) == len(state_dict)
     # a converted conv actually changed from init
@@ -177,3 +182,38 @@ def test_full_bevheight_mapping_coverage():
     assert not np.allclose(
         k0, np.asarray(variables["params"]["backbone"]["img_backbone"][
             "stem_conv"]["kernel"]))
+    return state_dict
+
+
+@pytest.mark.slow
+def test_full_bevheight_mapping_coverage():
+    _mapping_coverage_check(_make_coverage_cfg(is_bsm=False), is_bsm=False)
+
+
+@pytest.mark.slow
+def test_full_bsm_mapping_coverage():
+    """BSM/SGV3D twin: every flax path of the MSCThead + two-neck backbone
+    must map onto a reference torch key (bsm_lss_fpn.py:214-380 names)."""
+    sd = _mapping_coverage_check(_make_coverage_cfg(is_bsm=True), is_bsm=True)
+    # Spot-check that the synthesized keys use the reference module names.
+    expect = [
+        "model.backbone.height_net.reduce_conv0.0.weight",
+        "model.backbone.height_net.bn.running_mean",
+        "model.backbone.height_net.scale1_mlp.fc2.weight",
+        "model.backbone.height_net.scale0_se.conv_expand.weight",
+        "model.backbone.height_net.aspp.aspp3.atrous_conv.weight",
+        "model.backbone.height_net.aspp.global_avg_pool.1.weight",
+        "model.backbone.height_net.depth_head0.decoder.0.conv1.weight",
+        "model.backbone.height_net.semantic_head0.head.weight",
+        "model.backbone.height_net.depth_fpn.reduce_conv.weight",
+        "model.backbone.height_net.semantic_fpn.self_attention.attention.0"
+        ".weight",
+        "model.backbone.height_net.context_fpn.self_attention.conv.weight",
+        "model.backbone.height_net.depth_head1.decoder.3.running_var",
+        "model.backbone.height_net.context_conv1.0.weight",
+        "model.backbone.height_net.context_conv1.3.weight",
+        "model.backbone.img_neck_16.deblocks.0.0.weight",
+        "model.backbone.img_neck_8.deblocks.3.0.weight",
+    ]
+    for key in expect:
+        assert key in sd, key

@@ -138,20 +138,7 @@ def _heightnet_key(path):
         if mod == "downsample_bn":
             return _bn_key(f"{base}.height_conv.{i}.downsample.1", leaf)
     if name == "aspp":
-        mod = path[1]
-        if mod.endswith("_conv") and mod.startswith("aspp"):
-            return (f"{base}.height_conv.3.{mod[:-5]}.atrous_conv.weight",
-                    _t_conv)
-        if mod.endswith("_bn") and mod.startswith("aspp"):
-            return _bn_key(f"{base}.height_conv.3.{mod[:-3]}.bn", leaf)
-        if mod == "gap_conv":
-            return f"{base}.height_conv.3.global_avg_pool.1.weight", _t_conv
-        if mod == "gap_bn":
-            return _bn_key(f"{base}.height_conv.3.global_avg_pool.2", leaf)
-        if mod == "proj_conv":
-            return f"{base}.height_conv.3.conv1.weight", _t_conv
-        if mod == "proj_bn":
-            return _bn_key(f"{base}.height_conv.3.bn1", leaf)
+        return _aspp_key(path[1:], f"{base}.height_conv.3")
     if name == "dcn":
         if path[1] == "offset_conv":
             return _conv_or_dense(path, f"{base}.height_conv.4.conv_offset")
@@ -163,8 +150,115 @@ def _heightnet_key(path):
     return None
 
 
-def flax_path_to_torch(path):
-    """Full flax variable path (tuple of names) -> (torch key, transform)."""
+def _aspp_key(rest, torch_prefix):
+    """ASPP flax path suffix -> torch name. The reference's ASPP
+    (/root/reference/layers/backbones/lss_fpn.py:49-120) has aspp1..aspp4
+    _ASPPModules (atrous_conv + bn), a global_avg_pool Sequential
+    [AdaptiveAvgPool2d, Conv2d, BatchNorm2d, ReLU], then conv1/bn1."""
+    mod, leaf = rest[0], rest[-1]
+    if mod.endswith("_conv") and mod.startswith("aspp"):
+        return f"{torch_prefix}.{mod[:-5]}.atrous_conv.weight", _t_conv
+    if mod.endswith("_bn") and mod.startswith("aspp"):
+        return _bn_key(f"{torch_prefix}.{mod[:-3]}.bn", leaf)
+    if mod == "gap_conv":
+        return f"{torch_prefix}.global_avg_pool.1.weight", _t_conv
+    if mod == "gap_bn":
+        return _bn_key(f"{torch_prefix}.global_avg_pool.2", leaf)
+    if mod == "proj_conv":
+        return f"{torch_prefix}.conv1.weight", _t_conv
+    if mod == "proj_bn":
+        return _bn_key(f"{torch_prefix}.bn1", leaf)
+    return None
+
+
+def _basicblock_key(rest, torch_prefix):
+    """mmdet BasicBlock: conv1/bn1/conv2/bn2 (+ downsample.0/.1)."""
+    mod, leaf = rest[0], rest[-1]
+    if mod.startswith("conv"):
+        return f"{torch_prefix}.{mod}.weight", _t_conv
+    if mod.startswith("bn"):
+        return _bn_key(f"{torch_prefix}.{mod}", leaf)
+    if mod == "downsample_conv":
+        return f"{torch_prefix}.downsample.0.weight", _t_conv
+    if mod == "downsample_bn":
+        return _bn_key(f"{torch_prefix}.downsample.1", leaf)
+    return None
+
+
+def _taskhead_key(rest, torch_prefix):
+    """TaskHead (/root/reference/layers/backbones/bsm_lss_fpn.py:178-201):
+    decoder Sequential = [BasicBlock, BasicBlock, Conv2d, BatchNorm2d, ReLU]
+    plus optional 1x1 `head` conv. Flax: block1/block2/decoder_out/head."""
+    mod = rest[0]
+    if mod == "block1":
+        return _basicblock_key(rest[1:], f"{torch_prefix}.decoder.0")
+    if mod == "block2":
+        return _basicblock_key(rest[1:], f"{torch_prefix}.decoder.1")
+    if mod == "decoder_out":
+        if rest[1] == "conv":
+            return _conv_or_dense(rest, f"{torch_prefix}.decoder.2")
+        return _bn_key(f"{torch_prefix}.decoder.3", rest[-1])
+    if mod == "head":
+        return _conv_or_dense(rest, f"{torch_prefix}.head")
+    return None
+
+
+def _taskfpn_key(rest, torch_prefix):
+    """TaskFPN (bsm_lss_fpn.py:203-212): reduce_conv Conv2d + SABlock
+    (attention = Sequential[Conv2d(bias=False), Sigmoid]; conv bias=False)."""
+    mod = rest[0]
+    if mod == "reduce_conv":
+        return _conv_or_dense(rest, f"{torch_prefix}.reduce_conv")
+    if mod == "self_attention":
+        if rest[1] == "attention_conv":
+            return (f"{torch_prefix}.self_attention.attention.0.weight",
+                    _t_conv)
+        if rest[1] == "conv":
+            return f"{torch_prefix}.self_attention.conv.weight", _t_conv
+    return None
+
+
+def _mscthead_key(path):
+    """MSCThead flax path -> reference torch name
+    (/root/reference/layers/backbones/bsm_lss_fpn.py:214-320). The BSM
+    backbone instantiates it as `self.height_net` (bsm_lss_fpn.py:380)."""
+    base = "model.backbone.height_net"
+    name = path[0]
+    leaf = path[-1]
+    if name == "mlp_bn":
+        return _bn_key(f"{base}.bn", leaf)
+    if name in ("reduce_conv0", "reduce_conv1", "context_conv0"):
+        if path[1] == "conv":
+            return _conv_or_dense(path, f"{base}.{name}.0")
+        return _bn_key(f"{base}.{name}.1", leaf)
+    if name in ("scale0_mlp", "scale1_mlp"):
+        key, _ = _conv_or_dense(path, f"{base}.{name}.{path[1]}")
+        return key, (_t_linear if leaf == "kernel" else np.asarray)
+    if name in ("scale0_se", "scale1_se"):
+        return _conv_or_dense(path, f"{base}.{name}.{path[1]}")
+    if name == "aspp":
+        return _aspp_key(path[1:], f"{base}.aspp")
+    if name in ("depth_head0", "semantic_head0", "depth_head1",
+                "semantic_head1"):
+        return _taskhead_key(path[1:], f"{base}.{name}")
+    if name in ("depth_fpn", "semantic_fpn", "context_fpn"):
+        return _taskfpn_key(path[1:], f"{base}.{name}")
+    if name == "context_conv1a":
+        if path[1] == "conv":
+            return _conv_or_dense(path, f"{base}.context_conv1.0")
+        return _bn_key(f"{base}.context_conv1.1", leaf)
+    if name == "context_conv1b":
+        return _conv_or_dense(path, f"{base}.context_conv1.3")
+    return None
+
+
+def flax_path_to_torch(path, is_bsm: bool = False):
+    """Full flax variable path (tuple of names) -> (torch key, transform).
+
+    `is_bsm` selects the MSCThead mapping for `backbone.height_net` (the BSM
+    backbone reuses the attribute name `height_net` for its MSCThead,
+    bsm_lss_fpn.py:380; both modules contain an `aspp` child so the flax path
+    alone cannot disambiguate)."""
     # path[0] in {'backbone', 'head'}; strip collection prefixes upstream.
     if path[0] == "backbone":
         sub = path[1]
@@ -177,7 +271,7 @@ def flax_path_to_torch(path):
         if sub in ("img_neck", "img_neck_16", "img_neck_8"):
             return _secondfpn_key(rest, f"model.backbone.{sub}")
         if sub == "height_net":
-            return _heightnet_key(rest)
+            return _mscthead_key(rest) if is_bsm else _heightnet_key(rest)
         if sub == "assist_layer":
             return _conv_or_dense(rest, "model.backbone.assist_layer")
     if path[0] == "head":
@@ -210,7 +304,8 @@ def flax_path_to_torch(path):
     return None
 
 
-def convert_state_dict(state_dict: dict, variables: dict, strict=True):
+def convert_state_dict(state_dict: dict, variables: dict, strict=True,
+                       is_bsm: bool = False):
     """Fill our flax `variables` ({'params', 'batch_stats'}) from a torch
     state_dict; returns (new_variables, used_keys, missing_paths)."""
     import jax
@@ -222,7 +317,7 @@ def convert_state_dict(state_dict: dict, variables: dict, strict=True):
         out = {}
         for keypath, val in flat:
             names = tuple(getattr(k, "key", str(k)) for k in keypath)
-            mapped = flax_path_to_torch(names)
+            mapped = flax_path_to_torch(names, is_bsm=is_bsm)
             if mapped is None:
                 missing.append((collection,) + names)
                 out[names] = val
@@ -283,7 +378,8 @@ def main():
         jnp.asarray(imgs), {k: jnp.asarray(v) for k, v in mats.items()},
         False)
     new_vars, used, missing = convert_state_dict(
-        dict(state_dict), dict(variables), strict=False)
+        dict(state_dict), dict(variables), strict=False,
+        is_bsm=cfg.backbone.is_bsm)
     print(f"mapped {len(used)} torch tensors; {len(missing)} flax paths "
           f"left at init")
     with open(args.out, "wb") as f:
