@@ -137,3 +137,83 @@ def test_deform_conv_module_grouped(rng):
     expect = deform_conv2d(x, jnp.zeros((2, 5, 5, 18)), w, b, 3, 4)
     np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
                                rtol=1e-4, atol=1e-4)
+
+
+def _dcn_v1_numpy_oracle(x, offset, weight, bias, k, groups):
+    """Handwritten mmcv DCNv1 reference (nested loops, NHWC in/out).
+
+    Semantics transcribed from mmcv's deform_conv CUDA kernel
+    (deformable_im2col_gpu_kernel + dmcn_im2col_bilinear): for output pixel
+    (h0, w0) and tap (i, j), sample x at (h0 - pad + i + dy, w0 - pad + j +
+    dx) with bilinear interpolation, zero for any coordinate outside
+    (-1, H) x (-1, W) and zero-weight for out-of-range corners. Offset
+    channels are (dy, dx) pairs, taps row-major. stride=1, dilation=1,
+    pad=k//2 (the HeightNet conf, /root/reference/layers/backbones/
+    lss_fpn.py:190-198).
+    """
+    b, h, w, cin = x.shape
+    cout = weight.shape[-1]
+    cg, og = cin // groups, cout // groups
+    pad = k // 2
+    out = np.zeros((b, h, w, cout), np.float64)
+
+    def bilin(img, y, xx):  # img (H, W), scalar float coords, zero pad
+        if y <= -1 or y >= h or xx <= -1 or xx >= w:
+            return 0.0
+        y0, x0 = int(np.floor(y)), int(np.floor(xx))
+        wy, wx = y - y0, xx - x0
+        val = 0.0
+        for dy_c, dx_c in ((0, 0), (0, 1), (1, 0), (1, 1)):
+            yy, xc = y0 + dy_c, x0 + dx_c
+            if 0 <= yy < h and 0 <= xc < w:
+                val += img[yy, xc] * ((1 - wy) if dy_c == 0 else wy) * \
+                       ((1 - wx) if dx_c == 0 else wx)
+        return val
+
+    for bi in range(b):
+        for h0 in range(h):
+            for w0 in range(w):
+                for t in range(k * k):
+                    i, j = t // k, t % k
+                    dy = offset[bi, h0, w0, 2 * t]
+                    dx = offset[bi, h0, w0, 2 * t + 1]
+                    py = h0 - pad + i + dy
+                    px = w0 - pad + j + dx
+                    for g in range(groups):
+                        for ci in range(cg):
+                            v = bilin(x[bi, :, :, g * cg + ci], py, px)
+                            for co in range(og):
+                                out[bi, h0, w0, g * og + co] += (
+                                    v * weight[i, j, ci, g * og + co])
+    if bias is not None:
+        out += bias
+    return out
+
+
+def test_deform_conv_fractional_offsets_oracle(rng):
+    """Fractional offsets vs an independent nested-loop mmcv-DCNv1 oracle,
+    grouped (groups=4 as HeightNet uses). Catches (dy,dx) layout or corner-
+    weighting bugs the zero-offset/integer-shift tests cannot see."""
+    b, h, w, cin, cout, k, groups = 1, 5, 6, 8, 8, 3, 4
+    x = rng.normal(size=(b, h, w, cin)).astype(np.float32)
+    # Offsets up to ~2px, incl. samples that land outside the image.
+    offset = (rng.normal(size=(b, h, w, 2 * k * k)) * 1.3).astype(np.float32)
+    weight = (rng.normal(size=(k, k, cin // groups, cout)) * 0.2).astype(
+        np.float32)
+    bias = rng.normal(size=(cout,)).astype(np.float32)
+
+    ref = _dcn_v1_numpy_oracle(x, offset, weight, bias, k, groups)
+    out = deform_conv2d(jnp.asarray(x), jnp.asarray(offset),
+                        jnp.asarray(weight), jnp.asarray(bias), k, groups)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_deform_conv_fractional_offsets_oracle_ungrouped(rng):
+    b, h, w, cin, cout, k = 1, 4, 5, 3, 4, 3
+    x = rng.normal(size=(b, h, w, cin)).astype(np.float32)
+    offset = (rng.normal(size=(b, h, w, 2 * k * k)) * 0.9).astype(np.float32)
+    weight = (rng.normal(size=(k, k, cin, cout)) * 0.2).astype(np.float32)
+    ref = _dcn_v1_numpy_oracle(x, offset, weight, None, k, 1)
+    out = deform_conv2d(jnp.asarray(x), jnp.asarray(offset),
+                        jnp.asarray(weight), None, k, 1)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
