@@ -13,6 +13,7 @@
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
+#include <vector>
 
 namespace {
 
@@ -159,6 +160,120 @@ float rotate_iou_eval_one(const float* rb1, const float* rb2, int criterion) {
   }
 }
 
+// One frame's TP/FP/FN assignment (shared body; scratch provided by caller,
+// no fixed-size caps). Mirrors compute_statistics_jit
+// (/root/reference/evaluators/kitti_utils/eval.py:161-279).
+void statistics_one(const double* overlaps, int64_t det_size, int64_t gt_size,
+                    const double* gt_datas, const double* dt_datas,
+                    const int64_t* ignored_gt, const int64_t* ignored_det,
+                    const double* dc_bboxes, int64_t dc_num, int metric,
+                    double min_overlap, double thresh, int compute_fp,
+                    int compute_aos, int64_t* out_counts,
+                    double* out_similarity, double* out_thresholds,
+                    bool* assigned, bool* ign_thresh, double* delta) {
+  const double NO_DETECTION = -10000000.0;
+  for (int64_t i = 0; i < det_size; ++i) {
+    assigned[i] = false;
+    ign_thresh[i] = compute_fp && (dt_datas[i * 6 + 5] < thresh);
+  }
+  int64_t tp = 0, fp = 0, fn = 0;
+  double similarity = 0.0;
+  int64_t thresh_idx = 0;
+  int64_t delta_idx = 0;
+
+  for (int64_t i = 0; i < gt_size; ++i) {
+    if (ignored_gt[i] == -1) continue;
+    int64_t det_idx = -1;
+    double valid_detection = NO_DETECTION;
+    double max_overlap = 0.0;
+    bool assigned_ignored_det = false;
+    for (int64_t j = 0; j < det_size; ++j) {
+      if (ignored_det[j] == -1 || assigned[j] || ign_thresh[j]) continue;
+      const double overlap = overlaps[j * gt_size + i];
+      const double dt_score = dt_datas[j * 6 + 5];
+      if (!compute_fp && overlap > min_overlap && dt_score > valid_detection) {
+        det_idx = j;
+        valid_detection = dt_score;
+      } else if (compute_fp && overlap > min_overlap &&
+                 (overlap > max_overlap || assigned_ignored_det) &&
+                 ignored_det[j] == 0) {
+        max_overlap = overlap;
+        det_idx = j;
+        valid_detection = 1;
+        assigned_ignored_det = false;
+      } else if (compute_fp && overlap > min_overlap &&
+                 valid_detection == NO_DETECTION && ignored_det[j] == 1) {
+        det_idx = j;
+        valid_detection = 1;
+        assigned_ignored_det = true;
+      }
+    }
+    if (valid_detection == NO_DETECTION && ignored_gt[i] == 0) {
+      ++fn;
+    } else if (valid_detection != NO_DETECTION &&
+               (ignored_gt[i] == 1 || ignored_det[det_idx] == 1)) {
+      assigned[det_idx] = true;
+    } else if (valid_detection != NO_DETECTION) {
+      ++tp;
+      out_thresholds[thresh_idx++] = dt_datas[det_idx * 6 + 5];
+      if (compute_aos) {
+        delta[delta_idx++] = gt_datas[i * 5 + 4] - dt_datas[det_idx * 6 + 4];
+      }
+      assigned[det_idx] = true;
+    }
+  }
+  if (compute_fp) {
+    for (int64_t i = 0; i < det_size; ++i) {
+      if (!(assigned[i] || ignored_det[i] == -1 || ignored_det[i] == 1 ||
+            ign_thresh[i])) {
+        ++fp;
+      }
+    }
+    int64_t nstuff = 0;
+    if (metric == 0 && dc_num > 0) {
+      for (int64_t i = 0; i < dc_num; ++i) {
+        for (int64_t j = 0; j < det_size; ++j) {
+          if (assigned[j] || ignored_det[j] == -1 || ignored_det[j] == 1 ||
+              ign_thresh[j]) {
+            continue;
+          }
+          double ov = 0.0;
+          const double* b = dt_datas + j * 6;
+          const double* q = dc_bboxes + i * 4;
+          const double iw = std::min(b[2], q[2]) - std::max(b[0], q[0]);
+          if (iw > 0) {
+            const double ih = std::min(b[3], q[3]) - std::max(b[1], q[1]);
+            if (ih > 0) {
+              const double narea = (b[2] - b[0]) * (b[3] - b[1]);
+              ov = iw * ih / narea;
+            }
+          }
+          if (ov > min_overlap) {
+            assigned[j] = true;
+            ++nstuff;
+          }
+        }
+      }
+    }
+    fp -= nstuff;
+    if (compute_aos) {
+      similarity = 0.0;
+      if (tp > 0 || fp > 0) {
+        for (int64_t i = 0; i < delta_idx; ++i) {
+          similarity += (1.0 + std::cos(delta[i])) / 2.0;
+        }
+      } else {
+        similarity = -1.0;
+      }
+    }
+  }
+  out_counts[0] = tp;
+  out_counts[1] = fp;
+  out_counts[2] = fn;
+  out_counts[3] = thresh_idx;
+  *out_similarity = similarity;
+}
+
 }  // namespace
 
 extern "C" {
@@ -248,111 +363,102 @@ void compute_statistics(const double* overlaps, int64_t det_size,
                         double thresh, int compute_fp, int compute_aos,
                         int64_t* out_counts, double* out_similarity,
                         double* out_thresholds) {
-  const double NO_DETECTION = -10000000.0;
-  bool assigned[4096];
-  bool ign_thresh[4096];
-  for (int64_t i = 0; i < det_size; ++i) {
-    assigned[i] = false;
-    ign_thresh[i] = compute_fp && (dt_datas[i * 6 + 5] < thresh);
-  }
-  int64_t tp = 0, fp = 0, fn = 0;
-  double similarity = 0.0;
-  int64_t thresh_idx = 0;
-  double delta[4096];
-  int64_t delta_idx = 0;
+  std::vector<char> assigned(std::max<int64_t>(det_size, 1));
+  std::vector<char> ign_thresh(std::max<int64_t>(det_size, 1));
+  std::vector<double> delta(std::max<int64_t>(gt_size, 1));
+  statistics_one(overlaps, det_size, gt_size, gt_datas, dt_datas, ignored_gt,
+                 ignored_det, dc_bboxes, dc_num, metric, min_overlap, thresh,
+                 compute_fp, compute_aos, out_counts, out_similarity,
+                 out_thresholds, reinterpret_cast<bool*>(assigned.data()),
+                 reinterpret_cast<bool*>(ign_thresh.data()), delta.data());
+}
 
-  for (int64_t i = 0; i < gt_size; ++i) {
-    if (ignored_gt[i] == -1) continue;
-    int64_t det_idx = -1;
-    double valid_detection = NO_DETECTION;
-    double max_overlap = 0.0;
-    bool assigned_ignored_det = false;
-    for (int64_t j = 0; j < det_size; ++j) {
-      if (ignored_det[j] == -1 || assigned[j] || ign_thresh[j]) continue;
-      const double overlap = overlaps[j * gt_size + i];
-      const double dt_score = dt_datas[j * 6 + 5];
-      if (!compute_fp && overlap > min_overlap && dt_score > valid_detection) {
-        det_idx = j;
-        valid_detection = dt_score;
-      } else if (compute_fp && overlap > min_overlap &&
-                 (overlap > max_overlap || assigned_ignored_det) &&
-                 ignored_det[j] == 0) {
-        max_overlap = overlap;
-        det_idx = j;
-        valid_detection = 1;
-        assigned_ignored_det = false;
-      } else if (compute_fp && overlap > min_overlap &&
-                 valid_detection == NO_DETECTION && ignored_det[j] == 1) {
-        det_idx = j;
-        valid_detection = 1;
-        assigned_ignored_det = true;
-      }
-    }
-    if (valid_detection == NO_DETECTION && ignored_gt[i] == 0) {
-      ++fn;
-    } else if (valid_detection != NO_DETECTION &&
-               (ignored_gt[i] == 1 || ignored_det[det_idx] == 1)) {
-      assigned[det_idx] = true;
-    } else if (valid_detection != NO_DETECTION) {
-      ++tp;
-      out_thresholds[thresh_idx++] = dt_datas[det_idx * 6 + 5];
-      if (compute_aos) {
-        delta[delta_idx++] = gt_datas[i * 5 + 4] - dt_datas[det_idx * 6 + 4];
-      }
-      assigned[det_idx] = true;
-    }
+// Fused TP-score collection over a whole frame set: the compute_fp=false
+// pass of every frame in one call. Ports the role of the per-frame loop in
+// the reference's eval_class "thresholdss" gathering
+// (/root/reference/evaluators/kitti_utils/eval.py:486-499).
+// Frames are concatenated: overlaps_flat holds each frame's (det, gt)
+// row-major block back to back; sizes give the per-frame extents.
+// Returns (via *out_count) how many scores were written to out_scores
+// (caller sizes it at sum(gt_sizes)).
+void collect_tp_scores(const double* overlaps_flat, const int64_t* det_sizes,
+                       const int64_t* gt_sizes, int64_t num_frames,
+                       const double* gt_flat, const double* dt_flat,
+                       const int64_t* ig_gt_flat, const int64_t* ig_dt_flat,
+                       const double* dc_flat, const int64_t* dc_nums,
+                       int metric, double min_overlap, double* out_scores,
+                       int64_t* out_count) {
+  int64_t max_det = 1, max_gt = 1;
+  for (int64_t f = 0; f < num_frames; ++f) {
+    max_det = std::max(max_det, det_sizes[f]);
+    max_gt = std::max(max_gt, gt_sizes[f]);
   }
-  if (compute_fp) {
-    for (int64_t i = 0; i < det_size; ++i) {
-      if (!(assigned[i] || ignored_det[i] == -1 || ignored_det[i] == 1 ||
-            ign_thresh[i])) {
-        ++fp;
-      }
-    }
-    int64_t nstuff = 0;
-    if (metric == 0 && dc_num > 0) {
-      for (int64_t i = 0; i < dc_num; ++i) {
-        for (int64_t j = 0; j < det_size; ++j) {
-          if (assigned[j] || ignored_det[j] == -1 || ignored_det[j] == 1 ||
-              ign_thresh[j]) {
-            continue;
-          }
-          // overlap of det bbox vs dontcare bbox with criterion 0
-          double ov = 0.0;
-          const double* b = dt_datas + j * 6;
-          const double* q = dc_bboxes + i * 4;
-          const double iw = std::min(b[2], q[2]) - std::max(b[0], q[0]);
-          if (iw > 0) {
-            const double ih = std::min(b[3], q[3]) - std::max(b[1], q[1]);
-            if (ih > 0) {
-              const double narea = (b[2] - b[0]) * (b[3] - b[1]);
-              ov = iw * ih / narea;
-            }
-          }
-          if (ov > min_overlap) {
-            assigned[j] = true;
-            ++nstuff;
-          }
-        }
-      }
-    }
-    fp -= nstuff;
-    if (compute_aos) {
-      similarity = 0.0;
-      if (tp > 0 || fp > 0) {
-        for (int64_t i = 0; i < delta_idx; ++i) {
-          similarity += (1.0 + std::cos(delta[i])) / 2.0;
-        }
-      } else {
-        similarity = -1.0;
-      }
-    }
+  std::vector<char> assigned(max_det), ign_thresh(max_det);
+  std::vector<double> delta(max_gt);
+  int64_t ov_off = 0, gt_off = 0, dt_off = 0, dc_off = 0, n_scores = 0;
+  int64_t counts[4];
+  double sim;
+  for (int64_t f = 0; f < num_frames; ++f) {
+    const int64_t ds = det_sizes[f], gs = gt_sizes[f];
+    statistics_one(overlaps_flat + ov_off, ds, gs, gt_flat + gt_off * 5,
+                   dt_flat + dt_off * 6, ig_gt_flat + gt_off,
+                   ig_dt_flat + dt_off, dc_flat + dc_off * 4, dc_nums[f],
+                   metric, min_overlap, 0.0, /*compute_fp=*/0,
+                   /*compute_aos=*/0, counts, &sim, out_scores + n_scores,
+                   reinterpret_cast<bool*>(assigned.data()),
+                   reinterpret_cast<bool*>(ign_thresh.data()), delta.data());
+    n_scores += counts[3];
+    ov_off += ds * gs;
+    gt_off += gs;
+    dt_off += ds;
+    dc_off += dc_nums[f];
   }
-  out_counts[0] = tp;
-  out_counts[1] = fp;
-  out_counts[2] = fn;
-  out_counts[3] = thresh_idx;
-  *out_similarity = similarity;
+  *out_count = n_scores;
+}
+
+// Fused statistics accumulation: every (frame, threshold) pair in one call,
+// porting fused_compute_statistics
+// (/root/reference/evaluators/kitti_utils/eval.py:292-350) but over the whole
+// frame set. pr is (num_thresh, 4) [tp, fp, fn, similarity], accumulated.
+void fused_statistics(const double* overlaps_flat, const int64_t* det_sizes,
+                      const int64_t* gt_sizes, int64_t num_frames,
+                      const double* gt_flat, const double* dt_flat,
+                      const int64_t* ig_gt_flat, const int64_t* ig_dt_flat,
+                      const double* dc_flat, const int64_t* dc_nums,
+                      int metric, double min_overlap,
+                      const double* thresholds, int64_t num_thresh,
+                      int compute_aos, double* pr) {
+  int64_t max_det = 1, max_gt = 1;
+  for (int64_t f = 0; f < num_frames; ++f) {
+    max_det = std::max(max_det, det_sizes[f]);
+    max_gt = std::max(max_gt, gt_sizes[f]);
+  }
+  std::vector<char> assigned(max_det), ign_thresh(max_det);
+  std::vector<double> delta(max_gt), thr_buf(max_gt);
+  int64_t ov_off = 0, gt_off = 0, dt_off = 0, dc_off = 0;
+  int64_t counts[4];
+  double sim;
+  for (int64_t f = 0; f < num_frames; ++f) {
+    const int64_t ds = det_sizes[f], gs = gt_sizes[f];
+    for (int64_t t = 0; t < num_thresh; ++t) {
+      statistics_one(overlaps_flat + ov_off, ds, gs, gt_flat + gt_off * 5,
+                     dt_flat + dt_off * 6, ig_gt_flat + gt_off,
+                     ig_dt_flat + dt_off, dc_flat + dc_off * 4, dc_nums[f],
+                     metric, min_overlap, thresholds[t], /*compute_fp=*/1,
+                     compute_aos, counts, &sim, thr_buf.data(),
+                     reinterpret_cast<bool*>(assigned.data()),
+                     reinterpret_cast<bool*>(ign_thresh.data()),
+                     delta.data());
+      pr[t * 4 + 0] += counts[0];
+      pr[t * 4 + 1] += counts[1];
+      pr[t * 4 + 2] += counts[2];
+      if (sim != -1.0) pr[t * 4 + 3] += sim;
+    }
+    ov_off += ds * gs;
+    gt_off += gs;
+    dt_off += ds;
+    dc_off += dc_nums[f];
+  }
 }
 
 }  // extern "C"

@@ -110,12 +110,42 @@ def _overlaps_per_frame(gt_annos, dt_annos, metric) -> List[np.ndarray]:
     return out
 
 
+def _clean_data_all(gt_annos, dt_annos, current_class, difficulty):
+    """clean_data over all frames; metric-independent, so cacheable."""
+    total_num_valid_gt = 0
+    ig_gts, ig_dts, dcs = [], [], []
+    for gt, dt in zip(gt_annos, dt_annos):
+        num_valid_gt, ig_gt, ig_dt, dc = clean_data(
+            gt, dt, current_class, difficulty)
+        total_num_valid_gt += num_valid_gt
+        ig_gts.append(np.array(ig_gt, np.int64))
+        ig_dts.append(np.array(ig_dt, np.int64))
+        dcs.append(np.stack(dc, 0).astype(np.float64) if dc
+                   else np.zeros((0, 4), np.float64))
+    return total_num_valid_gt, ig_gts, ig_dts, dcs
+
+
 def eval_class(gt_annos, dt_annos, current_classes, difficultys, metric,
-               min_overlaps, compute_aos=False):
+               min_overlaps, compute_aos=False, cleaned_cache=None):
     """Returns dict with recall/precision/aos arrays
-    [num_class, num_difficulty, num_minoverlap, 41]."""
+    [num_class, num_difficulty, num_minoverlap, 41].
+
+    The per-frame x per-threshold statistics run fused in C++ (one ctypes
+    call per (class, difficulty, min_overlap) for the whole frame set),
+    porting /root/reference/evaluators/kitti_utils/eval.py:292-350,447-565.
+    `cleaned_cache` (optional dict) shares the metric-independent clean_data
+    results across the bbox/bev/3d passes.
+    """
     assert len(gt_annos) == len(dt_annos)
     overlaps = _overlaps_per_frame(gt_annos, dt_annos, metric)
+    gt_datas_list = [np.concatenate([gt["bbox"], gt["alpha"][:, None]], 1)
+                     for gt in gt_annos]
+    dt_datas_list = [np.concatenate(
+        [dt["bbox"], dt["alpha"][:, None], dt["score"][:, None]], 1)
+        for dt in dt_annos]
+    if cleaned_cache is None:
+        cleaned_cache = {}
+
     N_SAMPLE_PTS = 41
     num_minoverlap = len(min_overlaps)
     precision = np.zeros(
@@ -125,46 +155,23 @@ def eval_class(gt_annos, dt_annos, current_classes, difficultys, metric,
 
     for m, current_class in enumerate(current_classes):
         for d_idx, difficulty in enumerate(difficultys):
-            frame_data = []
-            total_num_valid_gt = 0
-            for gt, dt in zip(gt_annos, dt_annos):
-                num_valid_gt, ig_gt, ig_dt, dc = clean_data(
-                    gt, dt, current_class, difficulty)
-                total_num_valid_gt += num_valid_gt
-                dc = (np.stack(dc, 0).astype(np.float64) if dc
-                      else np.zeros((0, 4), np.float64))
-                gt_datas = np.concatenate(
-                    [gt["bbox"], gt["alpha"][:, None]], 1)
-                dt_datas = np.concatenate(
-                    [dt["bbox"], dt["alpha"][:, None], dt["score"][:, None]], 1)
-                frame_data.append((gt_datas, dt_datas,
-                                   np.array(ig_gt, np.int64),
-                                   np.array(ig_dt, np.int64), dc))
+            key = (current_class, difficulty)
+            if key not in cleaned_cache:
+                cleaned_cache[key] = _clean_data_all(
+                    gt_annos, dt_annos, current_class, difficulty)
+            total_num_valid_gt, ig_gts, ig_dts, dcs = cleaned_cache[key]
+            fs = native.FrameSet(overlaps, gt_datas_list, dt_datas_list,
+                                 ig_gts, ig_dts, dcs)
             for k, min_overlap in enumerate(min_overlaps[:, metric, m]):
-                all_thresholds = []
-                for ov, (gt_d, dt_d, ig_gt, ig_dt, dc) in zip(
-                        overlaps, frame_data):
-                    _, _, _, _, th = native.compute_statistics(
-                        ov, gt_d, dt_d, ig_gt, ig_dt, dc, metric,
-                        min_overlap, 0.0, compute_fp=False)
-                    all_thresholds.extend(th.tolist())
+                all_thresholds = native.collect_tp_scores(
+                    fs, metric, min_overlap)
                 if total_num_valid_gt == 0:
                     continue
                 thresholds = get_thresholds(
                     np.array(all_thresholds), total_num_valid_gt)
-                pr = np.zeros([len(thresholds), 4])
-                for ov, (gt_d, dt_d, ig_gt, ig_dt, dc) in zip(
-                        overlaps, frame_data):
-                    for t, thr in enumerate(thresholds):
-                        tp, fp, fn, sim, _ = native.compute_statistics(
-                            ov, gt_d, dt_d, ig_gt, ig_dt, dc, metric,
-                            min_overlap, thr, compute_fp=True,
-                            compute_aos=compute_aos)
-                        pr[t, 0] += tp
-                        pr[t, 1] += fp
-                        pr[t, 2] += fn
-                        if sim != -1:
-                            pr[t, 3] += sim
+                pr = native.fused_statistics(
+                    fs, metric, min_overlap, np.array(thresholds),
+                    compute_aos=compute_aos)
                 for i in range(len(thresholds)):
                     recall[m, d_idx, k, i] = pr[i, 0] / (pr[i, 0] + pr[i, 2])
                     precision[m, d_idx, k, i] = pr[i, 0] / (pr[i, 0] + pr[i, 1])
@@ -200,19 +207,21 @@ def do_eval(gt_annos, dt_annos, current_classes, min_overlaps,
     difficultys = [0, 1, 2]
     map_fn = get_mAP_R40 if metric == "R40" else get_mAP
     mAP_bbox = mAP_aos = mAP_bev = mAP_3d = None
+    cleaned_cache = {}  # clean_data is metric-independent; share across passes
     if "bbox" in eval_types:
         ret = eval_class(gt_annos, dt_annos, current_classes, difficultys, 0,
-                         min_overlaps, compute_aos=("aos" in eval_types))
+                         min_overlaps, compute_aos=("aos" in eval_types),
+                         cleaned_cache=cleaned_cache)
         mAP_bbox = map_fn(ret["precision"])
         if "aos" in eval_types:
             mAP_aos = map_fn(ret["orientation"])
     if "bev" in eval_types:
         ret = eval_class(gt_annos, dt_annos, current_classes, difficultys, 1,
-                         min_overlaps)
+                         min_overlaps, cleaned_cache=cleaned_cache)
         mAP_bev = map_fn(ret["precision"])
     if "3d" in eval_types:
         ret = eval_class(gt_annos, dt_annos, current_classes, difficultys, 2,
-                         min_overlaps)
+                         min_overlaps, cleaned_cache=cleaned_cache)
         mAP_3d = map_fn(ret["precision"])
     return mAP_bbox, mAP_bev, mAP_3d, mAP_aos
 

@@ -14,9 +14,6 @@ _SO = os.path.join(_HERE, "cpp", "libkitti_eval.so")
 _LOCK = threading.Lock()
 _LIB = None
 
-_MAX_DETS = 4096  # fixed stack buffers in compute_statistics
-
-
 def _build() -> None:
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC]
     subprocess.run(cmd, check=True, capture_output=True)
@@ -46,6 +43,16 @@ def lib() -> ctypes.CDLL:
             ctypes.c_int64, ctypes.c_int, ctypes.c_double, ctypes.c_double,
             ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p]
+        _LIB.collect_tp_scores.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_double,
+            ctypes.c_void_p, ctypes.c_void_p]
+        _LIB.fused_statistics.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_double,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_void_p]
         return _LIB
 
 
@@ -107,7 +114,6 @@ def compute_statistics(overlaps: np.ndarray, gt_datas: np.ndarray,
     Returns (tp, fp, fn, similarity, thresholds[:thresh_count]).
     """
     det_size, gt_size = dt_datas.shape[0], gt_datas.shape[0]
-    assert det_size <= _MAX_DETS and gt_size <= _MAX_DETS
     overlaps = np.ascontiguousarray(overlaps, np.float64)
     gt_datas = np.ascontiguousarray(gt_datas, np.float64).reshape(gt_size, 5)
     dt_datas = np.ascontiguousarray(dt_datas, np.float64).reshape(det_size, 6)
@@ -124,3 +130,76 @@ def compute_statistics(overlaps: np.ndarray, gt_datas: np.ndarray,
         int(compute_aos), _ptr(counts), _ptr(sim), _ptr(thresholds))
     tp, fp, fn, cnt = counts
     return int(tp), int(fp), int(fn), float(sim[0]), thresholds[:cnt]
+
+
+class FrameSet:
+    """Concatenated per-frame eval arrays for the fused C++ entry points.
+
+    Holds the flattened (det, gt) overlap blocks plus gt/dt data rows and the
+    per-(class, difficulty) ignore/dontcare arrays, so a whole dataset's
+    statistics run in ONE ctypes call (the reference fuses frames into parts,
+    /root/reference/evaluators/kitti_utils/eval.py:292-350,516-544; we fuse
+    the entire set)."""
+
+    def __init__(self, overlaps, gt_datas_list, dt_datas_list,
+                 ignored_gts, ignored_dets, dontcares):
+        self.num_frames = len(overlaps)
+        self.det_sizes = np.array([d.shape[0] for d in dt_datas_list],
+                                  np.int64)
+        self.gt_sizes = np.array([g.shape[0] for g in gt_datas_list],
+                                 np.int64)
+        self.ov_flat = (np.concatenate(
+            [np.ascontiguousarray(o, np.float64).reshape(-1)
+             for o in overlaps])
+            if overlaps else np.zeros(0, np.float64))
+        self.gt_flat = (np.concatenate(
+            [np.ascontiguousarray(g, np.float64).reshape(-1, 5)
+             for g in gt_datas_list])
+            if gt_datas_list else np.zeros((0, 5), np.float64))
+        self.dt_flat = (np.concatenate(
+            [np.ascontiguousarray(d, np.float64).reshape(-1, 6)
+             for d in dt_datas_list])
+            if dt_datas_list else np.zeros((0, 6), np.float64))
+        self.ig_gt_flat = (np.concatenate(
+            [np.ascontiguousarray(a, np.int64).reshape(-1)
+             for a in ignored_gts])
+            if ignored_gts else np.zeros(0, np.int64))
+        self.ig_dt_flat = (np.concatenate(
+            [np.ascontiguousarray(a, np.int64).reshape(-1)
+             for a in ignored_dets])
+            if ignored_dets else np.zeros(0, np.int64))
+        self.dc_nums = np.array([d.shape[0] for d in dontcares], np.int64)
+        self.dc_flat = (np.concatenate(
+            [np.ascontiguousarray(d, np.float64).reshape(-1, 4)
+             for d in dontcares])
+            if dontcares else np.zeros((0, 4), np.float64))
+
+
+def collect_tp_scores(fs: FrameSet, metric: int,
+                      min_overlap: float) -> np.ndarray:
+    """All frames' true-positive scores (compute_fp=False pass) in one call."""
+    out = np.zeros(max(int(fs.gt_sizes.sum()), 1), np.float64)
+    count = np.zeros(1, np.int64)
+    lib().collect_tp_scores(
+        _ptr(fs.ov_flat), _ptr(fs.det_sizes), _ptr(fs.gt_sizes),
+        fs.num_frames, _ptr(fs.gt_flat), _ptr(fs.dt_flat),
+        _ptr(fs.ig_gt_flat), _ptr(fs.ig_dt_flat), _ptr(fs.dc_flat),
+        _ptr(fs.dc_nums), metric, min_overlap, _ptr(out), _ptr(count))
+    return out[: int(count[0])]
+
+
+def fused_statistics(fs: FrameSet, metric: int, min_overlap: float,
+                     thresholds: np.ndarray,
+                     compute_aos: bool = False) -> np.ndarray:
+    """Accumulated pr (num_thresh, 4) [tp, fp, fn, similarity] over all
+    frames x thresholds in one call."""
+    thresholds = np.ascontiguousarray(thresholds, np.float64)
+    pr = np.zeros((max(len(thresholds), 1), 4), np.float64)
+    if len(thresholds):
+        lib().fused_statistics(
+            _ptr(fs.ov_flat), _ptr(fs.det_sizes), _ptr(fs.gt_sizes),
+            fs.num_frames, _ptr(fs.gt_flat), _ptr(fs.dt_flat),
+            _ptr(fs.ig_gt_flat), _ptr(fs.ig_dt_flat), _ptr(fs.dc_flat),
+            _ptr(fs.dc_nums), metric, min_overlap, _ptr(thresholds),
+            len(thresholds), int(compute_aos), _ptr(pr))
+    return pr[: len(thresholds)]

@@ -277,3 +277,118 @@ def test_lidar_corners_geometry():
     np.testing.assert_allclose(corners[:, 0].max(), 12.0)
     np.testing.assert_allclose(corners[:, 2].min(), 0.0)
     np.testing.assert_allclose(corners[:, 2].max(), 1.5)
+
+
+def _rand_annos(rng, n_frames, n_gt=15, n_dt=20, names=("Car", "Pedestrian",
+                                                        "Cyclist", "Van")):
+    gts, dts = [], []
+    for _ in range(n_frames):
+        ng = int(rng.integers(1, n_gt + 1))
+        nd = int(rng.integers(1, n_dt + 1))
+
+        def boxes(n, with_score):
+            x = rng.uniform(-10, 10, n)
+            z = rng.uniform(10, 60, n)
+            y = np.full(n, 1.5)
+            x1 = rng.uniform(0, 800, n)
+            y1 = rng.uniform(0, 400, n)
+            anno = {
+                "name": np.array([names[i % len(names)] for i in range(n)]),
+                "truncated": rng.uniform(0, 0.2, n),
+                "occluded": rng.integers(0, 2, n).astype(np.int64),
+                "alpha": rng.uniform(-np.pi, np.pi, n),
+                "bbox": np.stack([x1, y1, x1 + rng.uniform(30, 120, n),
+                                  y1 + rng.uniform(45, 150, n)], 1),
+                "dimensions": np.stack(
+                    [np.full(n, 4.2), np.full(n, 1.5), np.full(n, 1.8)], 1),
+                "location": np.stack([x, y, z], 1),
+                "rotation_y": rng.uniform(-np.pi, np.pi, n),
+            }
+            anno["score"] = (rng.uniform(0.1, 1.0, n) if with_score
+                             else np.zeros(n))
+            return anno
+
+        gts.append(boxes(ng, False))
+        dts.append(boxes(nd, True))
+    return gts, dts
+
+
+def test_fused_statistics_matches_per_frame(rng):
+    """The fused C++ entry points must reproduce the per-frame-per-threshold
+    loop exactly (the reference's fused_compute_statistics contract,
+    /root/reference/evaluators/kitti_utils/eval.py:292-350)."""
+    from sgv3d_tpu.evalkit.eval_ap import _clean_data_all, _overlaps_per_frame
+
+    gts, dts = _rand_annos(rng, 12)
+    for metric in (0, 1, 2):
+        overlaps = _overlaps_per_frame(gts, dts, metric)
+        gt_datas = [np.concatenate([g["bbox"], g["alpha"][:, None]], 1)
+                    for g in gts]
+        dt_datas = [np.concatenate(
+            [d["bbox"], d["alpha"][:, None], d["score"][:, None]], 1)
+            for d in dts]
+        _, ig_gts, ig_dts, dcs = _clean_data_all(gts, dts, 0, 1)
+        fs = native.FrameSet(overlaps, gt_datas, dt_datas, ig_gts, ig_dts,
+                             dcs)
+        min_overlap = 0.5
+        # collect_tp_scores == concatenated per-frame thresholds
+        ref_scores = []
+        for ov, g, d, ig, idt, dc in zip(overlaps, gt_datas, dt_datas,
+                                         ig_gts, ig_dts, dcs):
+            *_, th = native.compute_statistics(
+                ov, g, d, ig, idt, dc, metric, min_overlap, 0.0,
+                compute_fp=False)
+            ref_scores.extend(th.tolist())
+        got_scores = native.collect_tp_scores(fs, metric, min_overlap)
+        np.testing.assert_allclose(got_scores, np.array(ref_scores))
+
+        thresholds = np.linspace(0.1, 0.9, 7)
+        ref_pr = np.zeros((len(thresholds), 4))
+        for ov, g, d, ig, idt, dc in zip(overlaps, gt_datas, dt_datas,
+                                         ig_gts, ig_dts, dcs):
+            for t, thr in enumerate(thresholds):
+                tp, fp, fn, sim, _ = native.compute_statistics(
+                    ov, g, d, ig, idt, dc, metric, min_overlap, thr,
+                    compute_fp=True, compute_aos=True)
+                ref_pr[t, 0] += tp
+                ref_pr[t, 1] += fp
+                ref_pr[t, 2] += fn
+                if sim != -1:
+                    ref_pr[t, 3] += sim
+        got_pr = native.fused_statistics(fs, metric, min_overlap, thresholds,
+                                         compute_aos=True)
+        np.testing.assert_allclose(got_pr, ref_pr)
+
+
+def test_compute_statistics_beyond_4096_dets(rng):
+    """No fixed-size cap: a >4096-detection frame evaluates fine (the round-1
+    stack buffers aborted here)."""
+    n = 5000
+    gt = {"bbox": np.array([[0, 0, 100, 100]], np.float64),
+          "alpha": np.array([0.1])}
+    dt_bbox = np.tile(np.array([[0, 0, 100, 100]], np.float64), (n, 1))
+    dt = np.concatenate([dt_bbox, rng.uniform(-1, 1, (n, 1)),
+                         rng.uniform(0, 1, (n, 1))], 1)
+    tp, fp, fn, _, th = native.compute_statistics(
+        np.full((n, 1), 0.9), np.concatenate(
+            [gt["bbox"], gt["alpha"][:, None]], 1), dt,
+        np.zeros(1, np.int64), np.zeros(n, np.int64),
+        np.zeros((0, 4)), 2, 0.5, 0.0, compute_fp=False)
+    assert tp == 1 and len(th) == 1
+
+
+@pytest.mark.slow
+def test_full_dataset_eval_wall_time(rng):
+    """A DAIR-val-sized eval (2016 frames, 3 classes, bbox+bev+3d, both
+    overlap tables) must finish in well under 2 minutes on this 1-core host
+    (VERDICT round-1 missing #5; the round-1 per-frame ctypes loop took
+    ~10^6-10^7 crossings)."""
+    import time
+    gts, dts = _rand_annos(rng, 2016)
+    t0 = time.perf_counter()
+    result, ret = kitti_eval(gts, dts, ["Car", "Pedestrian", "Cyclist"],
+                             metric="R40")
+    dt = time.perf_counter() - t0
+    assert "Car AP@0.70, 0.70, 0.70:" in result
+    assert dt < 120.0, f"full-dataset eval took {dt:.1f}s"
+    print(f"\n2016-frame kitti_eval wall time: {dt:.2f}s")
