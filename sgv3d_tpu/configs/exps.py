@@ -22,6 +22,12 @@ def _backbone(depth, voxel, d_bound, xmax=102.4, ymax=51.2, is_bsm=False):
         downsample_factor=16,
         resnet_depth=depth,
         is_bsm=is_bsm,
+        # Deploy default: pool only the top-16 height bins per pixel at
+        # inference (training always pools all bins). The trained DID softmax
+        # concentrates its mass in a few bins, so this is near-exact
+        # (tests/test_model.py::test_topk_lift_near_exact_after_training)
+        # and cuts the BEV scatter ~3x (tools/profile_topk.py).
+        lift_top_k=16,
     )
 
 
@@ -52,6 +58,12 @@ def _exp(name, depth, voxel, d_bound, is_bsm, data_root, max_epochs,
 
 
 EXPS = {
+    # BASELINE.json configs[0]: r18 single-frame CPU-inference sanity config
+    # (no reference exp file uses r18 for the image backbone; this exists for
+    # the driver's smallest benchmark config and quick local runs).
+    "bevheight_dair_r18_128": _exp(
+        "bevheight_dair_r18_128", 18, 0.8, (-2.0, 0.0, 90), False,
+        "data/dair-v2x-i", 85, batch=1),
     # BEVHeight on DAIR-V2X-I (d_bound [-2, 0], embed-MSE aux in reference)
     "bevheight_dair_r50_128": _exp(
         "bevheight_dair_r50_128", 50, 0.8, (-2.0, 0.0, 90), False,

@@ -87,7 +87,8 @@ class RoadSideDataset:
                  img_conf: dict | None = None, return_semantic: bool = False,
                  use_cbgs: bool = False, max_objs: int = 500,
                  semantic_mask_dir: str = "training/mask_image",
-                 num_sweeps: int = 1, seed: int = 0):
+                 num_sweeps: int = 1, key_idxes: Sequence[int] = (),
+                 seed: int = 0):
         self.infos = load_infos(info_path)
         self.ida_aug_conf = ida_aug_conf
         self.classes = list(classes)
@@ -102,7 +103,13 @@ class RoadSideDataset:
         self.return_semantic = return_semantic
         self.semantic_mask_dir = semantic_mask_dir
         self.max_objs = max_objs
-        self.num_sweeps = num_sweeps
+        # Multi-frame support mirrors the reference's key_idxes plumbing
+        # (/root/reference/dataset/nusc_mv_det_dataset.py:289-292,736-758):
+        # negative offsets select past key frames; a frame from another scene
+        # (or before the start) falls back to the key frame itself.
+        assert all(k < 0 for k in key_idxes), "key_idxes must be negative"
+        self.key_idxes = [0] + list(key_idxes)
+        self.num_sweeps = max(num_sweeps, len(self.key_idxes))
         self.rng = np.random.default_rng(seed)
         self.use_cbgs = use_cbgs
         if use_cbgs:
@@ -244,20 +251,43 @@ class RoadSideDataset:
             idx = self.sample_indices[idx]
         info = self.infos[idx]
         cams = list(info["cam_infos"].keys())
-        cam_data = [self.get_image(info["cam_infos"][c]) for c in cams]
+
+        # Resolve one frame per key_idx (scene-guarded, like the reference).
+        sweep_infos = []
+        for key_idx in self.key_idxes:
+            cur = idx + key_idx
+            if cur < 0 or (self.infos[cur]["scene_token"]
+                           != info["scene_token"]):
+                cur = idx
+            sweep_infos.append(self.infos[cur])
+        sweeps = [[self.get_image(si["cam_infos"][c]) for c in cams]
+                  for si in sweep_infos]
+        cam_data = sweeps[0]  # key frame
 
         n = len(cams)
+        # sensor2sensor: key-frame sensor -> sweep sensor (ego poses are
+        # identity for the roadside datasets, as in the reference infos).
+        s2s = np.stack([
+            np.stack([np.linalg.inv(sw[c]["sensor2ego"])
+                      @ cam_data[c]["sensor2ego"]
+                      for c in range(n)]).astype(np.float32)
+            for sw in sweeps])
         sample = dict(
-            imgs=np.stack([c["img"] for c in cam_data])[None],  # (S=1, N, H, W, 3)
-            sensor2ego_mats=np.stack([c["sensor2ego"] for c in cam_data])[None],
+            imgs=np.stack(
+                [np.stack([c["img"] for c in sw]) for sw in sweeps]),
+            sensor2ego_mats=np.stack(
+                [np.stack([c["sensor2ego"] for c in sw]) for sw in sweeps]),
             sensor2virtual_mats=np.stack(
-                [c["sensor2virtual"] for c in cam_data])[None],
-            intrin_mats=np.stack([c["intrin"] for c in cam_data])[None],
-            ida_mats=np.stack([c["ida"] for c in cam_data])[None],
-            sensor2sensor_mats=np.tile(np.eye(4, dtype=np.float32),
-                                       (1, n, 1, 1)),
-            reference_heights=np.asarray(
-                [c["reference_height"] for c in cam_data], np.float32)[None],
+                [np.stack([c["sensor2virtual"] for c in sw])
+                 for sw in sweeps]),
+            intrin_mats=np.stack(
+                [np.stack([c["intrin"] for c in sw]) for sw in sweeps]),
+            ida_mats=np.stack(
+                [np.stack([c["ida"] for c in sw]) for sw in sweeps]),
+            sensor2sensor_mats=s2s,
+            reference_heights=np.stack(
+                [np.asarray([c["reference_height"] for c in sw], np.float32)
+                 for sw in sweeps]),
             bda_mat=np.eye(4, dtype=np.float32),
             img_metas=dict(
                 token=info["sample_token"],

@@ -28,6 +28,14 @@ def synchronize() -> None:
     multihost_utils.sync_global_devices("sgv3d_tpu_barrier")
 
 
+def interleave_shards(gathered: List[List[Any]], total: int) -> List[Any]:
+    """Undo round-robin sharding: interleave per-rank lists (rank 0 item 0,
+    rank 1 item 0, ..., rank 0 item 1, ...) and truncate the padding a
+    distributed sampler added to equalise shard lengths — the reference's
+    eval gather (/root/reference/exps/sgv3d/...r50...py:372-380)."""
+    return sum(map(list, zip(*gathered)), [])[:total]
+
+
 def all_gather_object(obj: Any) -> List[Any]:
     """Gather an arbitrary picklable object from every process."""
     world = jax.process_count()

@@ -28,9 +28,15 @@ from sgv3d_tpu.nn.second_fpn import SECONDFPN
 from sgv3d_tpu.ops.voxel_pooling import flatten_voxel_index, lift_splat_pool
 
 
-def _lift_and_splat(cfg: BackboneConfig, height_prob, tran_feat, mats, sweep):
+def _lift_and_splat(cfg: BackboneConfig, height_prob, tran_feat, mats, sweep,
+                    train: bool = False):
     """Shared geometry + fused pooling. height_prob (BN, fH, fW, D),
-    tran_feat (BN, fH, fW, C) -> (B, Y, X, C) fp32."""
+    tran_feat (BN, fH, fW, C) -> (B, Y, X, C) fp32.
+
+    In eval mode, `cfg.lift_top_k` pools only the top-k height bins per pixel
+    (measured on TPU: the exact 90-bin scatter is ~59 ms/batch-8 net, top-16
+    ~20 ms — see tools/profile_topk.py). Training always pools all bins so
+    gradients reach every height bin, like the reference."""
     b = mats["sensor2ego_mats"].shape[0]
     n = mats["sensor2ego_mats"].shape[2]
     f_h, f_w = cfg.feat_hw
@@ -56,7 +62,7 @@ def _lift_and_splat(cfg: BackboneConfig, height_prob, tran_feat, mats, sweep):
     hp = height_prob.astype(jnp.float32).transpose(0, 3, 1, 2)  # (BN, D, fH, fW)
     hp = hp.reshape(b * n, d, f_h * f_w)
     ctx = tran_feat.astype(jnp.float32).reshape(b * n, f_h * f_w, -1)
-    if cfg.lift_top_k is not None:
+    if cfg.lift_top_k is not None and not train:
         from sgv3d_tpu.ops.voxel_pooling import topk_lift_inputs
         hp, cell = topk_lift_inputs(hp, cell, cfg.lift_top_k)
     bev = lift_splat_pool(hp, ctx, cell, b, num_y * num_x)
@@ -96,7 +102,7 @@ class LSSFPN(nn.Module):
             assist = assist_layer(feat)
             h_logits, context = height_net(feat, mlp_input, train)
             height = jax.nn.softmax(h_logits.astype(jnp.float32), axis=-1)
-            bev = _lift_and_splat(cfg, height, context, mats, sweep)
+            bev = _lift_and_splat(cfg, height, context, mats, sweep, train)
             return bev, assist
 
         bev, assist = single_sweep(0)
@@ -150,7 +156,7 @@ class BSMLSSFPN(nn.Module):
             # Background suppression: zero features where P(background) > thr.
             keep = (semantic[..., 0:1] <= self.bg_threshold).astype(jnp.float32)
             tran_feat = tran_feat * keep
-            bev = _lift_and_splat(cfg, height, tran_feat, mats, sweep)
+            bev = _lift_and_splat(cfg, height, tran_feat, mats, sweep, train)
             return bev, (semantic0, semantic1)
 
         bev, aux = single_sweep(0)

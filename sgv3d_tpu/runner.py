@@ -180,12 +180,14 @@ def evaluate(cfg: ExpConfig, ckpt_path: str | None = None,
             img_metas.append(metas[i])
 
     dist.synchronize()
-    results = sum(map(list, zip(*dist.all_gather_object(results))), []) \
-        if dist.get_world_size() > 1 else results
-    img_metas = sum(map(list, zip(*dist.all_gather_object(img_metas))), []) \
-        if dist.get_world_size() > 1 else img_metas
-    results = results[:len(dataset)]
-    img_metas = img_metas[:len(dataset)]
+    if dist.get_world_size() > 1:
+        results = dist.interleave_shards(
+            dist.all_gather_object(results), len(dataset))
+        img_metas = dist.interleave_shards(
+            dist.all_gather_object(img_metas), len(dataset))
+    else:
+        results = results[:len(dataset)]
+        img_metas = img_metas[:len(dataset)]
 
     if dist.get_rank() == 0:
         evaluator = RoadSideEvaluator(

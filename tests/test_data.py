@@ -139,3 +139,40 @@ def test_reference_height_plausible(tmp_path):
     s = ds[0]
     # camera mounted 6 m up, pitched 0.2 rad: reference height ~ 6 m
     assert 5.0 < float(s["reference_heights"][0, 0]) < 7.0
+
+
+def test_dataset_multi_sweep(tmp_path):
+    """key_idxes=[-1] produces S=2 samples with scene-guarded fallback and
+    key->sweep sensor2sensor mats (reference
+    dataset/nusc_mv_det_dataset.py:736-758 semantics)."""
+    root = _make_fake_root(tmp_path, with_masks=False)
+    ds = RoadSideDataset(IDA_CONF, CLASSES, str(root),
+                         str(root / "infos_train.pkl"), is_train=False,
+                         max_objs=8, key_idxes=[-1])
+    s = ds[2]
+    assert s["imgs"].shape == (2, 1, 96, 160, 3)
+    assert s["sensor2ego_mats"].shape == (2, 1, 4, 4)
+    assert s["ida_mats"].shape == (2, 1, 4, 4)
+    assert s["reference_heights"].shape == (2, 1)
+    assert s["sensor2sensor_mats"].shape == (2, 1, 4, 4)
+    # sweep 0's sensor2sensor is the identity (key -> key)
+    np.testing.assert_allclose(s["sensor2sensor_mats"][0, 0], np.eye(4),
+                               atol=1e-6)
+    # the past sweep is a different frame's image
+    assert not np.allclose(s["imgs"][0], s["imgs"][1])
+
+    # frame 0 has no predecessor -> falls back to the key frame
+    s0 = ds[0]
+    np.testing.assert_allclose(s0["imgs"][0], s0["imgs"][1])
+
+    # scene boundary guard: a predecessor from another scene is rejected
+    ds.infos[1]["scene_token"] = "other_scene"
+    s2 = ds[2]
+    np.testing.assert_allclose(s2["imgs"][0], s2["imgs"][1])
+
+    # collate stacks S=2 and the multi-sweep model consumes it
+    ds.infos[1]["scene_token"] = "scene0"
+    from sgv3d_tpu.data.dataset import collate
+    imgs, mats, *_ = collate([ds[2], ds[3]])
+    assert imgs.shape == (2, 2, 1, 96, 160, 3)
+    assert mats["sensor2sensor_mats"].shape == (2, 2, 1, 4, 4)

@@ -169,3 +169,147 @@ def test_embed_loss_and_train_loss_hook():
     shifted = embeds + 0.1
     got = float(embed_loss((assist, assist), jnp.asarray(shifted)))
     np.testing.assert_allclose(got, 1000 * 0.01, rtol=1e-4)
+
+
+# --- full loss-library modes vs torch-transcribed oracles -------------------
+
+def _torch_binary_focal(logits, targets, gamma=2.0, alpha=0.25,
+                        ignore_index=None):
+    """Reference semantics (losses/_functional.py:36-99 + focal.py:60-70):
+    boolean-filter ignored elements, then mean."""
+    import torch
+    x = torch.tensor(np.asarray(logits).reshape(-1))
+    t = torch.tensor(np.asarray(targets).reshape(-1), dtype=torch.float64)
+    x = x.double()
+    if ignore_index is not None:
+        keep = t != ignore_index
+        x, t = x[keep], t[keep]
+    logpt = torch.nn.functional.binary_cross_entropy_with_logits(
+        x, t, reduction="none")
+    pt = torch.exp(-logpt)
+    loss = (1 - pt) ** gamma * logpt
+    if alpha is not None:
+        loss = loss * (alpha * t + (1 - alpha) * (1 - t))
+    return float(loss.mean())
+
+
+def test_binary_focal_ignore_index_matches_torch(rng):
+    from sgv3d_tpu.losses import binary_focal_loss_with_logits
+    logits = rng.normal(size=(64,)).astype(np.float32)
+    targets = rng.integers(0, 2, 64).astype(np.float32)
+    targets[::7] = -1  # ignored
+    got = float(binary_focal_loss_with_logits(
+        jnp.asarray(logits), jnp.asarray(targets), ignore_index=-1))
+    ref = _torch_binary_focal(logits, targets, ignore_index=-1)
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+
+def test_multiclass_focal_ignore_index_matches_torch(rng):
+    from sgv3d_tpu.losses import focal_loss
+    c = 4
+    logits = rng.normal(size=(30, c)).astype(np.float32)
+    labels = rng.integers(0, c, 30)
+    labels[::5] = -1
+    got = float(focal_loss(jnp.asarray(logits), jnp.asarray(labels),
+                           "multiclass", ignore_index=-1))
+    # reference focal.py:77-88: per-class one-vs-all on the kept elements
+    ref = 0.0
+    keep = labels != -1
+    for cls in range(c):
+        ref += _torch_binary_focal(logits[keep, cls],
+                                   (labels[keep] == cls).astype(np.float32))
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+
+def test_multilabel_focal_matches_binary_flatten(rng):
+    from sgv3d_tpu.losses import focal_loss
+    logits = rng.normal(size=(6, 5, 3)).astype(np.float32)
+    targets = rng.integers(0, 2, (6, 5, 3)).astype(np.float32)
+    got = float(focal_loss(jnp.asarray(logits), jnp.asarray(targets),
+                           "multilabel"))
+    ref = _torch_binary_focal(logits, targets)
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+
+def test_dice_loss_modes_multiclass_matches_torch(rng):
+    import torch
+    import torch.nn.functional as F
+    from sgv3d_tpu.losses import dice_loss_modes
+
+    b, h, w, c = 2, 6, 5, 4
+    logits = rng.normal(size=(b, h, w, c)).astype(np.float32)
+    labels = rng.integers(0, c, (b, h, w))
+    labels[:, 0] = -1  # ignored rows
+
+    got = float(dice_loss_modes(jnp.asarray(logits), jnp.asarray(labels),
+                                "multiclass", ignore_index=-1))
+
+    # torch transcription of /root/reference/losses/dice.py:58-130 (NCHW)
+    yp = torch.tensor(logits).permute(0, 3, 1, 2).double()
+    yt = torch.tensor(labels)
+    yp = yp.log_softmax(dim=1).exp()
+    yt_flat = yt.view(b, -1)
+    yp = yp.reshape(b, c, -1)
+    mask = yt_flat != -1
+    yp = yp * mask.unsqueeze(1)
+    oh = F.one_hot((yt_flat * mask).long(), c).permute(0, 2, 1) * \
+        mask.unsqueeze(1)
+    dims = (0, 2)
+    inter = torch.sum(yp * oh, dim=dims)
+    card = torch.sum(yp + oh, dim=dims)
+    scores = (2 * inter) / card.clamp_min(1e-7)
+    loss = 1.0 - scores
+    loss = loss * (oh.sum(dims) > 0)
+    ref = float(loss.mean())
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+
+def test_dice_loss_modes_binary_and_multilabel(rng):
+    from sgv3d_tpu.losses import dice_loss_modes
+    pred = rng.normal(size=(2, 8, 1)).astype(np.float32)
+    tgt = rng.integers(0, 2, (2, 8, 1)).astype(np.float32)
+    v_bin = float(dice_loss_modes(jnp.asarray(pred), jnp.asarray(tgt),
+                                  "binary"))
+    assert 0.0 <= v_bin <= 1.0
+    pred3 = rng.normal(size=(2, 8, 3)).astype(np.float32)
+    tgt3 = rng.integers(0, 2, (2, 8, 3)).astype(np.float32)
+    v_ml = float(dice_loss_modes(jnp.asarray(pred3), jnp.asarray(tgt3),
+                                 "multilabel"))
+    assert 0.0 <= v_ml <= 1.0
+
+
+def test_functional_scores_match_torch_formulas(rng):
+    import torch
+    from sgv3d_tpu.losses import (soft_jaccard_score, soft_tversky_score,
+                                  wing_loss)
+    o = rng.random((3, 4)).astype(np.float32)
+    t = rng.integers(0, 2, (3, 4)).astype(np.float32)
+    jac = float(soft_jaccard_score(jnp.asarray(o), jnp.asarray(t)))
+    ot, tt = torch.tensor(o).double(), torch.tensor(t).double()
+    inter = float((ot * tt).sum())
+    card = float((ot + tt).sum())
+    np.testing.assert_allclose(jac, inter / max(card - inter, 1e-7),
+                               rtol=1e-5)
+    tv = float(soft_tversky_score(jnp.asarray(o), jnp.asarray(t), 0.3, 0.7))
+    fp = float((ot * (1 - tt)).sum())
+    fn = float(((1 - ot) * tt).sum())
+    np.testing.assert_allclose(tv, inter / (inter + 0.3 * fp + 0.7 * fn),
+                               rtol=1e-5)
+    # wing loss: quadratic-log near zero, linear far away
+    w = float(wing_loss(jnp.asarray(o), jnp.asarray(t), width=5.0,
+                        curvature=0.5))
+    d = np.abs(t - o)
+    c = 5.0 - 5.0 * np.log(1 + 5.0 / 0.5)
+    ref = np.where(d < 5.0, 5.0 * np.log(1 + d / 0.5), d - c).mean()
+    np.testing.assert_allclose(w, ref, rtol=1e-5)
+
+
+def test_label_smoothed_nll_ignore(rng):
+    from sgv3d_tpu.losses import label_smoothed_nll_loss
+    lp = np.log(np.full((5, 3), 1 / 3, np.float32))
+    tgt = rng.integers(0, 3, 5)
+    tgt[0] = -1
+    v = float(label_smoothed_nll_loss(jnp.asarray(lp), jnp.asarray(tgt), 0.1,
+                                      ignore_index=-1))
+    # uniform log-probs: every term is log(3) regardless of smoothing
+    np.testing.assert_allclose(v, np.log(3.0), rtol=1e-5)
