@@ -141,3 +141,15 @@ class ExpConfig:
     data_root: str = "data/rope3d-kitti"
     img_mean: tuple[float, float, float] = (123.675, 116.28, 103.53)
     img_std: tuple[float, float, float] = (58.395, 57.12, 57.375)
+    # ida_aug_conf (reference keeps it per exp, exps/...:74-84); source image
+    # size + bottom-crop limits for the resize/crop augmentation.
+    src_hw: tuple[int, int] = (1080, 1920)
+    bot_pct_lim: tuple[float, float] = (0.0, 0.0)
+    cams: tuple[str, ...] = ("CAM_FRONT",)
+
+    @property
+    def ida_aug_conf(self) -> dict:
+        return {"final_dim": self.backbone.final_dim,
+                "H": self.src_hw[0], "W": self.src_hw[1],
+                "bot_pct_lim": self.bot_pct_lim,
+                "cams": list(self.cams), "Ncams": len(self.cams)}

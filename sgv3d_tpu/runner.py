@@ -28,10 +28,6 @@ from sgv3d_tpu.train.optim import make_optimizer
 from sgv3d_tpu.train.sharding import make_mesh, shard_batch
 from sgv3d_tpu.evalkit.evaluator import RoadSideEvaluator
 
-IDA_AUG_CONF = {"final_dim": (864, 1536), "H": 1080, "W": 1920,
-                "bot_pct_lim": (0.0, 0.0), "cams": ["CAM_FRONT"], "Ncams": 1}
-
-
 def default_info_paths(cfg: ExpConfig, data_root: str):
     """Train/val info pkl resolution incl. the SSDG auto-switch
     (reference :412: prefer *_train_ssdg.pkl when present)."""
@@ -60,9 +56,7 @@ def build_model(cfg: ExpConfig, use_bf16: bool = True) -> BEVHeight:
 
 
 def _ida_conf(cfg: ExpConfig):
-    conf = dict(IDA_AUG_CONF)
-    conf["final_dim"] = cfg.backbone.final_dim
-    return conf
+    return cfg.ida_aug_conf
 
 
 def train(cfg: ExpConfig, data_root: str | None = None,

@@ -79,12 +79,8 @@ def test_train_resume_evaluate(tmp_path):
     cfg = dataclasses.replace(
         cfg,
         backbone=dataclasses.replace(cfg.backbone, final_dim=(64, 96)),
-        batch_size_per_device=2, data_root=root)
+        batch_size_per_device=2, data_root=root, src_hw=(H_IMG, W_IMG))
     out_dir = str(tmp_path / "outputs")
-
-    ida = runner._ida_conf(cfg)
-    ida["H"], ida["W"] = H_IMG, W_IMG
-    runner.IDA_AUG_CONF.update({"H": H_IMG, "W": W_IMG})
 
     state = runner.train(cfg, data_root=root, output_dir=out_dir, max_steps=2,
                          ckpt_every_epochs=1, num_devices=2)
