@@ -229,6 +229,68 @@ def height_to_ego(points: jnp.ndarray, sensor2ego: jnp.ndarray,
                                    reference_heights)
 
 
+def inv4x4(m: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form (adjugate/cofactor) inverse of (..., 4, 4) matrices.
+
+    `jnp.linalg.inv` lowers to batched LU with pivoting — scalar-heavy and
+    slow on TPU for many tiny matrices; the adjugate is ~200 fused
+    elementwise flops per matrix with no control flow. fp32 throughout; for
+    the well-conditioned calib/ida matrices here the accuracy matches LU to
+    float32 roundoff (tests/test_geom.py::test_inv4x4_matches_linalg)."""
+    m = m.astype(jnp.float32)
+    a = [[m[..., i, j] for j in range(4)] for i in range(4)]
+    # 2x2 sub-determinants of rows 2,3 (s) — Laplace expansion building blocks.
+    s0 = a[2][0] * a[3][1] - a[2][1] * a[3][0]
+    s1 = a[2][0] * a[3][2] - a[2][2] * a[3][0]
+    s2 = a[2][0] * a[3][3] - a[2][3] * a[3][0]
+    s3 = a[2][1] * a[3][2] - a[2][2] * a[3][1]
+    s4 = a[2][1] * a[3][3] - a[2][3] * a[3][1]
+    s5 = a[2][2] * a[3][3] - a[2][3] * a[3][2]
+    # 2x2 sub-determinants of rows 0,1 (t).
+    t0 = a[0][0] * a[1][1] - a[0][1] * a[1][0]
+    t1 = a[0][0] * a[1][2] - a[0][2] * a[1][0]
+    t2 = a[0][0] * a[1][3] - a[0][3] * a[1][0]
+    t3 = a[0][1] * a[1][2] - a[0][2] * a[1][1]
+    t4 = a[0][1] * a[1][3] - a[0][3] * a[1][1]
+    t5 = a[0][2] * a[1][3] - a[0][3] * a[1][2]
+    det = t0 * s5 - t1 * s4 + t2 * s3 + t3 * s2 - t4 * s1 + t5 * s0
+    r = 1.0 / det
+    c = [[None] * 4 for _ in range(4)]
+    c[0][0] = (a[1][1] * s5 - a[1][2] * s4 + a[1][3] * s3) * r
+    c[0][1] = (-a[0][1] * s5 + a[0][2] * s4 - a[0][3] * s3) * r
+    c[0][2] = (a[3][1] * t5 - a[3][2] * t4 + a[3][3] * t3) * r
+    c[0][3] = (-a[2][1] * t5 + a[2][2] * t4 - a[2][3] * t3) * r
+    c[1][0] = (-a[1][0] * s5 + a[1][2] * s2 - a[1][3] * s1) * r
+    c[1][1] = (a[0][0] * s5 - a[0][2] * s2 + a[0][3] * s1) * r
+    c[1][2] = (-a[3][0] * t5 + a[3][2] * t2 - a[3][3] * t1) * r
+    c[1][3] = (a[2][0] * t5 - a[2][2] * t2 + a[2][3] * t1) * r
+    c[2][0] = (a[1][0] * s4 - a[1][1] * s2 + a[1][3] * s0) * r
+    c[2][1] = (-a[0][0] * s4 + a[0][1] * s2 - a[0][3] * s0) * r
+    c[2][2] = (a[3][0] * t4 - a[3][1] * t2 + a[3][3] * t0) * r
+    c[2][3] = (-a[2][0] * t4 + a[2][1] * t2 - a[2][3] * t0) * r
+    c[3][0] = (-a[1][0] * s3 + a[1][1] * s1 - a[1][2] * s0) * r
+    c[3][1] = (a[0][0] * s3 - a[0][1] * s1 + a[0][2] * s0) * r
+    c[3][2] = (-a[3][0] * t3 + a[3][1] * t1 - a[3][2] * t0) * r
+    c[3][3] = (a[2][0] * t3 - a[2][1] * t1 + a[2][2] * t0) * r
+    rows = [jnp.stack(c[i], axis=-1) for i in range(4)]
+    return jnp.stack(rows, axis=-2)
+
+
+def _apply_mat4(mat: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    """Apply (..., 4, 4) matrices to (..., D, fH, fW, 4) point grids.
+
+    Unrolled to elementwise broadcast-multiply-adds: a contraction of length
+    4 maps terribly onto the 128-wide MXU (and fp32-HIGHEST precision makes
+    it a multi-pass emulation), while the VPU streams it in one fused pass —
+    ~5x faster for the frustum-sized grids here (tools/profile_model.py).
+    `mat` broadcasts against pts' leading dims ((B,N,4,4) or (B,1,4,4))."""
+    m = mat[..., None, None, None, :, :]          # (..., 1, 1, 1, 4, 4)
+    cols = [pts[..., j] for j in range(4)]
+    return jnp.stack(
+        [sum(m[..., i, j] * cols[j] for j in range(4)) for i in range(4)],
+        axis=-1)
+
+
 def _height_to_ego_impl(points, sensor2ego, sensor2virtual, intrin,
                         reference_heights):
     height = reference_heights[:, :, None, None, None].astype(jnp.float32) - points[..., 2]
@@ -239,13 +301,13 @@ def _height_to_ego_impl(points, sensor2ego, sensor2virtual, intrin,
          jnp.full_like(points[..., 0], 10.0), jnp.ones_like(points[..., 0])],
         axis=-1,
     )
-    combine_virtual = sensor2virtual @ jnp.linalg.inv(intrin)
-    pts_virtual = jnp.einsum("bnij,bndhwj->bndhwi", combine_virtual, uv1)
+    combine_virtual = sensor2virtual @ inv4x4(intrin)
+    pts_virtual = _apply_mat4(combine_virtual, uv1)
     ratio = height / pts_virtual[..., 1]
     pts = pts_virtual * ratio[..., None]
     pts = pts.at[..., 3].set(1.0)
-    combine_ego = sensor2ego @ jnp.linalg.inv(sensor2virtual)
-    return jnp.einsum("bnij,bndhwj->bndhwi", combine_ego, pts)
+    combine_ego = sensor2ego @ inv4x4(sensor2virtual)
+    return _apply_mat4(combine_ego, pts)
 
 
 def get_geometry(frustum: jnp.ndarray, sensor2ego: jnp.ndarray,
@@ -264,14 +326,14 @@ def get_geometry(frustum: jnp.ndarray, sensor2ego: jnp.ndarray,
       (B, N, D, fH, fW, 3) float32.
     """
     with jax.default_matmul_precision("float32"):
-        ida_inv = jnp.linalg.inv(ida.astype(jnp.float32))
-        points = jnp.einsum("bnij,dhwj->bndhwi", ida_inv, frustum.astype(jnp.float32))
+        ida_inv = inv4x4(ida)
+        points = _apply_mat4(ida_inv, frustum.astype(jnp.float32))
         points = height_to_ego(points, sensor2ego.astype(jnp.float32),
                                sensor2virtual.astype(jnp.float32),
                                intrin.astype(jnp.float32),
                                reference_heights.astype(jnp.float32))
         if bda is not None:
-            points = jnp.einsum("bij,bndhwj->bndhwi", bda.astype(jnp.float32), points)
+            points = _apply_mat4(bda.astype(jnp.float32)[:, None], points)
         return points[..., :3]
 
 

@@ -46,6 +46,12 @@ def _lift_and_splat(cfg: BackboneConfig, height_prob, tran_feat, mats, sweep,
 
     frustum = jnp.asarray(
         geom.make_frustum(cfg.final_dim, cfg.effective_downsample, cfg.d_bound))
+    use_topk = cfg.lift_top_k is not None and not train
+    if use_topk:
+        # (fH, fW, D, 4) frustum: geometry is elementwise over the point
+        # grid, so this yields cell indices directly in the (HW, D) layout
+        # top-k wants — no (N, HW, D)-sized transposes anywhere.
+        frustum = frustum.transpose(1, 2, 0, 3)
     points = geom.get_geometry(
         frustum,
         mats["sensor2ego_mats"][:, sweep],
@@ -55,16 +61,19 @@ def _lift_and_splat(cfg: BackboneConfig, height_prob, tran_feat, mats, sweep,
         mats["reference_heights"][:, sweep],
         mats.get("bda_mat"),
     )
-    vox = geom.geometry_to_voxel(points, grid)          # (B, N, D, fH, fW, 3)
+    vox = geom.geometry_to_voxel(points, grid)
     cell = flatten_voxel_index(vox, tuple(grid.voxel_num))
-    cell = cell.reshape(b * n, d, f_h * f_w)
 
-    hp = height_prob.astype(jnp.float32).transpose(0, 3, 1, 2)  # (BN, D, fH, fW)
-    hp = hp.reshape(b * n, d, f_h * f_w)
     ctx = tran_feat.astype(jnp.float32).reshape(b * n, f_h * f_w, -1)
-    if cfg.lift_top_k is not None and not train:
-        from sgv3d_tpu.ops.voxel_pooling import topk_lift_inputs
-        hp, cell = topk_lift_inputs(hp, cell, cfg.lift_top_k)
+    if use_topk:
+        from sgv3d_tpu.ops.voxel_pooling import topk_lift_inputs_hwd
+        hp_hwd = height_prob.astype(jnp.float32).reshape(b * n, f_h * f_w, d)
+        cell_hwd = cell.reshape(b * n, f_h * f_w, d)
+        hp, cell = topk_lift_inputs_hwd(hp_hwd, cell_hwd, cfg.lift_top_k)
+    else:
+        hp = height_prob.astype(jnp.float32).transpose(0, 3, 1, 2)
+        hp = hp.reshape(b * n, d, f_h * f_w)
+        cell = cell.reshape(b * n, d, f_h * f_w)
     bev = lift_splat_pool(hp, ctx, cell, b, num_y * num_x)
     return bev.reshape(b, num_y, num_x, -1)
 

@@ -183,19 +183,56 @@ lift_splat_pool.defvjp(_lift_splat_fwd, _lift_splat_bwd)
 
 
 def topk_lift_inputs(height: jnp.ndarray, cell_index: jnp.ndarray,
-                     k: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+                     k: int, method: str = "auto"
+                     ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Deployment knob: keep only the top-k height bins per pixel.
 
     The DID softmax concentrates most probability mass in a few bins, so
     pooling only the top-k (e.g. 16 of 90) cuts scatter points ~6x with
     negligible output change. Exact when k == D. Returns reduced
-    (height (N, k, HW), cell_index (N, k, HW))."""
+    (height (N, k, HW), cell_index (N, k, HW)).
+
+    Methods: "auto" (default) = the exact Pallas kernel on TPU
+    (ops/pallas_topk.py — one VMEM-resident pass vs the slow XLA TopK custom
+    call) and `lax.top_k` elsewhere; "pallas"/"exact"/"approx" force a
+    specific implementation ("approx" = `lax.approx_max_k`, >=0.95 recall of
+    the top-k set — acceptable because the scatter is order-independent and
+    top-k is itself an approximation)."""
     n, d, hw = height.shape
     if k >= d:
         return height, cell_index
     # top_k over the bin axis per (camera, pixel)
-    h_t = height.transpose(0, 2, 1)              # (N, HW, D)
-    vals, idx = jax.lax.top_k(h_t, k)            # (N, HW, k)
-    cells_t = jnp.take_along_axis(
-        cell_index.transpose(0, 2, 1), idx, axis=-1)
+    return topk_lift_inputs_hwd(height.transpose(0, 2, 1),
+                                cell_index.transpose(0, 2, 1), k, method)
+
+
+def topk_lift_inputs_hwd(height_hwd: jnp.ndarray, cell_hwd: jnp.ndarray,
+                         k: int, method: str = "auto"
+                         ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """`topk_lift_inputs` for inputs already in (N, HW, D) layout.
+
+    The model's NHWC height tensor and an (fH, fW, D)-ordered frustum give
+    this layout for free, skipping two full (N, HW, D)-sized transposes
+    (which dominated the top-k stage cost: D=90 is lane-unaligned, so the
+    transpose is shuffle-bound). Returns (N, k, HW) arrays (the pooling
+    layout; transposing the k-sized outputs is ~6x cheaper than the inputs).
+    """
+    n, hw, d = height_hwd.shape
+    if k >= d:
+        return height_hwd.transpose(0, 2, 1), cell_hwd.transpose(0, 2, 1)
+    if method == "auto":
+        method = "pallas" if (jax.default_backend() == "tpu"
+                              and d <= 128) else "exact"
+    if method == "pallas":
+        from sgv3d_tpu.ops.pallas_topk import pallas_topk_with_cells
+        return pallas_topk_with_cells(height_hwd.astype(jnp.float32),
+                                      cell_hwd, k)
+    if method == "approx" and d >= 32:
+        # >= 0.95 recall of the top-k set; at deploy scale (16 of 90) the
+        # rare miss is the set's smallest element — negligible mass. At toy
+        # scales (k ~ d/2) a miss costs real mass, so fall back to exact.
+        vals, idx = jax.lax.approx_max_k(height_hwd, k, recall_target=0.95)
+    else:
+        vals, idx = jax.lax.top_k(height_hwd, k)   # (N, HW, k)
+    cells_t = jnp.take_along_axis(cell_hwd, idx, axis=-1)
     return vals.transpose(0, 2, 1), cells_t.transpose(0, 2, 1)

@@ -175,3 +175,24 @@ def test_camera_mlp_input_layout():
     assert float(out[0, 6]) == -5.0    # ida[0,3]
     np.testing.assert_allclose(
         np.asarray(out[0, 15:27]), np.eye(4)[:3].reshape(-1), atol=1e-6)
+
+
+def test_inv4x4_matches_linalg():
+    """Adjugate inverse == LU inverse for calib-like matrices."""
+    rng = np.random.RandomState(3)
+    mats = []
+    for _ in range(16):
+        m = np.eye(4)
+        m[:3, :3] = geom.rodrigues(rng.randn(3))
+        m[:3, 3] = rng.randn(3) * 5
+        mats.append(m)
+    # plus an intrinsics-like and an ida-like matrix
+    k = np.eye(4); k[0, 0], k[1, 1], k[0, 2], k[1, 2] = 2183.4, 2329.3, 940.3, 560.2
+    mats.append(k)
+    mats.append(np.asarray(geom.ida_matrix(0.8, (10, 20, 1546, 884), True, 2.0),
+                           np.float64))
+    m = jnp.asarray(np.stack(mats).astype(np.float32))
+    got = geom.inv4x4(m)
+    want = np.linalg.inv(np.stack(mats)).astype(np.float32)
+    # relative tolerance: intrinsics inverses have entries ~1e-4
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=1e-6)

@@ -127,3 +127,55 @@ def test_lift_splat_pool_jit_and_multibatch(rng):
     expect = _lift_oracle(np.asarray(height), np.asarray(context),
                           np.asarray(cell), batch, num_cells)
     np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-4, atol=1e-4)
+
+
+def test_topk_hwd_layout_matches_dhw(rng):
+    """topk_lift_inputs_hwd == topk_lift_inputs (exact method) up to the
+    shared (N, k, HW) output layout."""
+    from sgv3d_tpu.ops.voxel_pooling import (topk_lift_inputs,
+                                             topk_lift_inputs_hwd)
+    n, d, hw, k = 2, 12, 40, 4
+    h = jax.nn.softmax(jnp.asarray(rng.normal(size=(n, d, hw)),
+                                   jnp.float32), axis=1)
+    cells = jnp.asarray(rng.integers(0, 64, size=(n, d, hw)), jnp.int32)
+    h1, c1 = topk_lift_inputs(h, cells, k, method="exact")
+    h2, c2 = topk_lift_inputs_hwd(h.transpose(0, 2, 1),
+                                  cells.transpose(0, 2, 1), k,
+                                  method="exact")
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2))
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+
+def test_topk_approx_covers_mass(rng):
+    """approx_max_k keeps >= 95% of the probability mass exact top-k keeps
+    (top-16 of a peaked softmax)."""
+    from sgv3d_tpu.ops.voxel_pooling import topk_lift_inputs
+    n, d, hw, k = 2, 90, 64, 16
+    h = jax.nn.softmax(jnp.asarray(rng.normal(size=(n, d, hw)) * 3.0,
+                                   jnp.float32), axis=1)
+    cells = jnp.asarray(rng.integers(0, 64, size=(n, d, hw)), jnp.int32)
+    h_ex, _ = topk_lift_inputs(h, cells, k, method="exact")
+    h_ap, _ = topk_lift_inputs(h, cells, k, method="approx")
+    mass_ex = float(h_ex.sum())
+    mass_ap = float(h_ap.sum())
+    assert mass_ap >= 0.95 * mass_ex
+
+
+def test_pallas_topk_matches_lax_topk(rng):
+    """ops/pallas_topk.py == lax.top_k (+ cell gather), incl. tie-breaking
+    and non-ROWS-aligned HW (interpret mode on CPU)."""
+    from sgv3d_tpu.ops.pallas_topk import pallas_topk_with_cells
+    from sgv3d_tpu.ops.voxel_pooling import topk_lift_inputs_hwd
+    n, hw, d, k = 2, 700, 90, 16
+    h = jnp.asarray(rng.normal(size=(n, hw, d)), jnp.float32)
+    c = jnp.asarray(rng.integers(0, 16384, size=(n, hw, d)), jnp.int32)
+    v1, c1 = pallas_topk_with_cells(h, c, k, True)
+    v2, c2 = topk_lift_inputs_hwd(h, c, k, "exact")
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    # heavy ties: quantized values exercise the lowest-index tie-break
+    h2 = jnp.asarray(rng.integers(0, 5, size=(n, hw, d)) / 4.0, jnp.float32)
+    v1, c1 = pallas_topk_with_cells(h2, c, k, True)
+    v2, c2 = topk_lift_inputs_hwd(h2, c, k, "exact")
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
