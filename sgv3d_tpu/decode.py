@@ -50,24 +50,41 @@ def circle_nms(centers: jnp.ndarray, valid: jnp.ndarray,
     return keep
 
 
-def _decode_task(cfg: HeadConfig, pred: dict, class_offset: int,
-                 nms_radius: float):
-    """Decode one task head. Returns per-sample arrays of size post_max_size."""
-    hm = jax.nn.sigmoid(pred["heatmap"].astype(jnp.float32))
-    b, h, w, nc = hm.shape
-    k = min(cfg.max_per_task, h * w * nc)
+def decode(cfg: HeadConfig, preds: list) -> Detections:
+    """Decode all task heads into a fixed-size detection set.
 
-    scores, flat_idx = jax.lax.top_k(hm.reshape(b, h * w * nc), k)
-    cls = flat_idx % nc
-    pos = flat_idx // nc
+    All tasks are decoded in one batched pass: heatmaps are padded to the
+    max per-task class count and stacked, so the 6 per-task TopK custom
+    calls (the decode hot spot) collapse into a single (B, T, HW*ncmax)
+    top-k, and the regression gathers / NMS vmap over the task axis. Output
+    layout (task-major concatenation, post_max_size slots each) and numerics
+    match the previous per-task implementation exactly.
+    """
+    t_n = len(cfg.tasks)
+    ncs = [t.num_classes for t in cfg.tasks]
+    nc_max = max(ncs)
+    b, h, w, _ = preds[0]["heatmap"].shape
+    k = min(cfg.max_per_task, h * w)  # per-task candidate count
+
+    # (B, T, H*W, nc_max) heatmap logits, padded classes at -inf.
+    hms = jnp.stack([
+        jnp.pad(p["heatmap"].astype(jnp.float32).reshape(b, h * w, -1),
+                ((0, 0), (0, 0), (0, nc_max - nc)),
+                constant_values=-jnp.inf)
+        for p, nc in zip(preds, ncs)], axis=1)
+    hm = jax.nn.sigmoid(hms)
+
+    scores, flat_idx = jax.lax.top_k(hm.reshape(b, t_n, -1), k)  # (B, T, k)
+    cls = flat_idx % nc_max
+    pos = flat_idx // nc_max
     ys = (pos // w).astype(jnp.float32)
     xs = (pos % w).astype(jnp.float32)
 
     def gather(name):
-        t = pred[name].astype(jnp.float32)
+        t = jnp.stack([p[name].astype(jnp.float32) for p in preds], axis=1)
         c = t.shape[-1]
         return jnp.take_along_axis(
-            t.reshape(b, h * w, c), pos[..., None], axis=1)
+            t.reshape(b, t_n, h * w, c), pos[..., None], axis=2)
 
     reg = gather("reg")
     height = gather("height")[..., 0]
@@ -91,28 +108,26 @@ def _decode_task(cfg: HeadConfig, pred: dict, class_offset: int,
         [x, y, height - dim[..., 2] * 0.5, dim[..., 0], dim[..., 1],
          dim[..., 2], yaw, vel[..., 0], vel[..., 1]], axis=-1)
 
-    def per_sample(boxes_s, scores_s, cls_s, valid_s):
-        keep = circle_nms(boxes_s[:, :2], valid_s, nms_radius)
+    radii = jnp.asarray(cfg.nms_min_radius, jnp.float32)       # (T,)
+    offsets = jnp.asarray(
+        [sum(ncs[:i]) for i in range(t_n)], jnp.int32)         # (T,)
+
+    def per_task(boxes_s, scores_s, cls_s, valid_s, radius, offset):
+        keep = circle_nms(boxes_s[:, :2], valid_s, radius)
         # Stable-sort kept-first (already score-ordered), take post_max_size.
         order = jnp.argsort(~keep, stable=True)[: cfg.post_max_size]
         n_keep = jnp.sum(keep)
         out_valid = jnp.arange(cfg.post_max_size) < n_keep
         return (boxes_s[order], scores_s[order] * out_valid,
-                cls_s[order] + class_offset, out_valid)
+                cls_s[order] + offset, out_valid)
 
-    return jax.vmap(per_sample)(boxes, scores, cls, valid)
+    per_bt = jax.vmap(jax.vmap(per_task, in_axes=(0, 0, 0, 0, 0, 0)),
+                      in_axes=(0, 0, 0, 0, None, None))
+    boxes, scores, labels, valid = per_bt(
+        boxes, scores, cls, valid, radii, offsets)  # (B, T, post_max, ...)
 
-
-def decode(cfg: HeadConfig, preds: list) -> Detections:
-    """Decode all task heads into a fixed-size detection set."""
-    outs = []
-    offset = 0
-    for ti, task in enumerate(cfg.tasks):
-        outs.append(_decode_task(cfg, preds[ti], offset,
-                                 float(cfg.nms_min_radius[ti])))
-        offset += task.num_classes
-    boxes = jnp.concatenate([o[0] for o in outs], axis=1)
-    scores = jnp.concatenate([o[1] for o in outs], axis=1)
-    labels = jnp.concatenate([o[2] for o in outs], axis=1)
-    valid = jnp.concatenate([o[3] for o in outs], axis=1)
-    return Detections(boxes, scores, labels, valid)
+    pm = cfg.post_max_size
+    return Detections(boxes.reshape(b, t_n * pm, 9),
+                      scores.reshape(b, t_n * pm),
+                      labels.reshape(b, t_n * pm),
+                      valid.reshape(b, t_n * pm))
