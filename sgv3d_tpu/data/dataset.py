@@ -88,7 +88,7 @@ class RoadSideDataset:
                  use_cbgs: bool = False, max_objs: int = 500,
                  semantic_mask_dir: str = "training/mask_image",
                  num_sweeps: int = 1, key_idxes: Sequence[int] = (),
-                 seed: int = 0):
+                 seed: int = 0, device_normalize: bool = False):
         self.infos = load_infos(info_path)
         self.ida_aug_conf = ida_aug_conf
         self.classes = list(classes)
@@ -100,6 +100,13 @@ class RoadSideDataset:
         self.img_mean = np.asarray(img_conf["img_mean"], np.float32)
         self.img_std = np.asarray(img_conf["img_std"], np.float32)
         self.to_rgb = img_conf["to_rgb"]
+        # device_normalize: emit raw uint8 pixels and let the model apply
+        # imnormalize on-device (models.bev_height.normalize_images) — 4x
+        # smaller host->device transfers, same math in fp32.
+        self.device_normalize = device_normalize
+        if device_normalize and not self.to_rgb:
+            raise ValueError("device_normalize assumes to_rgb channel "
+                             "reversal (the reference's imnormalize default)")
         self.return_semantic = return_semantic
         self.semantic_mask_dir = semantic_mask_dir
         self.max_objs = max_objs
@@ -199,10 +206,13 @@ class RoadSideDataset:
         img = np.array(img)
         if self.is_train and self.rng.random() < 0.3:
             img = transforms.brightness_augment(self.rng, img)
-        img = transforms.imnormalize(img, self.img_mean, self.img_std,
-                                     self.to_rgb)
+        if self.device_normalize:
+            img = np.ascontiguousarray(img.astype(np.uint8))
+        else:
+            img = transforms.imnormalize(img, self.img_mean, self.img_std,
+                                         self.to_rgb).astype(np.float32)
         return dict(
-            img=img.astype(np.float32),                  # (H, W, 3)
+            img=img,                                     # (H, W, 3)
             sensor2ego=sensor2ego.astype(np.float32),
             sensor2virtual=sensor2virtual.astype(np.float32),
             intrin=intrin.astype(np.float32),
@@ -339,13 +349,18 @@ class DataLoader:
     parallelism belongs to the TPU side)."""
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
-                 drop_last: bool = False, seed: int = 0, prefetch: bool = True):
+                 drop_last: bool = False, seed: int = 0, prefetch: bool = True,
+                 to_device: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.rng = np.random.default_rng(seed)
         self.prefetch = prefetch
+        # to_device: issue jax.device_put for the array fields from the
+        # prefetch thread, so the (slow) host->device transfer of batch i+1
+        # overlaps with the device compute of batch i. img_metas stay host.
+        self.to_device = to_device
 
     def __len__(self):
         n = len(self.dataset)
@@ -353,13 +368,23 @@ class DataLoader:
             return n // self.batch_size
         return -(-n // self.batch_size)
 
+    def _put(self, batch):
+        if not self.to_device:
+            return batch
+        import jax
+        imgs, mats, gt_boxes, gt_labels, gt_semantic, img_metas = batch
+        return (jax.device_put(imgs), jax.device_put(mats),
+                jax.device_put(gt_boxes), jax.device_put(gt_labels),
+                gt_semantic if gt_semantic is None
+                else jax.device_put(gt_semantic), img_metas)
+
     def _batches(self):
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(order)
         for i in range(len(self)):
             idxs = order[i * self.batch_size:(i + 1) * self.batch_size]
-            yield collate([self.dataset[int(j)] for j in idxs])
+            yield self._put(collate([self.dataset[int(j)] for j in idxs]))
 
     def __iter__(self):
         if not self.prefetch:

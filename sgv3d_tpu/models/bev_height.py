@@ -23,6 +23,23 @@ from sgv3d_tpu.nn.lss_fpn import BSMLSSFPN, LSSFPN
 from sgv3d_tpu.ops.resize import resize_bilinear
 
 
+def normalize_images(imgs: jnp.ndarray, cfg: ExpConfig) -> jnp.ndarray:
+    """On-device imnormalize for raw uint8 images; fp32 passes through.
+
+    Replicates `data.transforms.imnormalize` exactly (channel reversal, then
+    (x - mean) / std in fp32) so the host can ship uint8 pixels — 4x less
+    host->device traffic, and the normalization runs on the chip instead of
+    the 1-core host. fp32 inputs are assumed already normalized (the host
+    path), keeping both entry conventions valid.
+    """
+    if imgs.dtype != jnp.uint8:
+        return imgs
+    x = jnp.flip(imgs.astype(jnp.float32), axis=-1)
+    mean = jnp.asarray(cfg.img_mean, jnp.float32)
+    std = jnp.asarray(cfg.img_std, jnp.float32)
+    return (x - mean) / std
+
+
 class BEVHeight(nn.Module):
     cfg: ExpConfig
     dtype: jnp.dtype | None = None  # backbone compute dtype (bf16 on TPU)
@@ -30,7 +47,11 @@ class BEVHeight(nn.Module):
     @nn.compact
     def __call__(self, sweep_imgs, mats: Mapping[str, Any], train: bool = False):
         """Returns (task_preds, aux) where aux is the backbone's auxiliary
-        output pair (assist features for LSSFPN, semantic logits for BSM)."""
+        output pair (assist features for LSSFPN, semantic logits for BSM).
+
+        `sweep_imgs` may be normalized fp32 or raw uint8 (normalized
+        on-device, see `normalize_images`)."""
+        sweep_imgs = normalize_images(sweep_imgs, self.cfg)
         backbone_cls = BSMLSSFPN if self.cfg.backbone.is_bsm else LSSFPN
         backbone = backbone_cls(self.cfg.backbone, dtype=self.dtype,
                                 name="backbone")

@@ -73,9 +73,13 @@ def train(cfg: ExpConfig, data_root: str | None = None,
     dataset = RoadSideDataset(
         _ida_conf(cfg), cfg.classes, data_root, info_path, is_train=True,
         return_semantic=cfg.backbone.is_bsm and cfg.is_train_height,
-        max_objs=cfg.head.max_objs, seed=seed)
+        max_objs=cfg.head.max_objs, seed=seed, device_normalize=True)
+    # Single-device: the prefetch thread also issues the device_put so the
+    # host->device transfer of batch i+1 overlaps the compute of batch i.
+    # Multi-device keeps host arrays (shard_batch places them per-shard).
     loader = DataLoader(dataset, cfg.batch_size_per_device * n_dev,
-                        shuffle=True, drop_last=True, seed=seed)
+                        shuffle=True, drop_last=True, seed=seed,
+                        to_device=(n_dev == 1))
     if len(loader) == 0:
         raise ValueError(
             f"dataset ({len(dataset)} samples) smaller than the global batch "
@@ -134,7 +138,7 @@ def evaluate(cfg: ExpConfig, ckpt_path: str | None = None,
     n_dev = num_devices or jax.local_device_count()
     dataset = RoadSideDataset(
         _ida_conf(cfg), cfg.classes, data_root, val_info, is_train=False,
-        max_objs=cfg.head.max_objs)
+        max_objs=cfg.head.max_objs, device_normalize=True)
     loader = DataLoader(dataset, cfg.batch_size_per_device * n_dev)
 
     mesh = make_mesh(n_dev)

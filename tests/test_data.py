@@ -176,3 +176,43 @@ def test_dataset_multi_sweep(tmp_path):
     imgs, mats, *_ = collate([ds[2], ds[3]])
     assert imgs.shape == (2, 2, 1, 96, 160, 3)
     assert mats["sensor2sensor_mats"].shape == (2, 2, 1, 4, 4)
+
+
+def test_device_normalize_parity(tmp_path):
+    """uint8 dataset output + on-device normalize == host imnormalize path."""
+    import jax.numpy as jnp
+    from sgv3d_tpu.models.bev_height import normalize_images
+    from tests.tiny_configs import tiny_exp
+
+    root = _make_fake_root(tmp_path)
+    kw = dict(is_train=False, max_objs=8)
+    ds_host = RoadSideDataset(IDA_CONF, CLASSES, str(root),
+                              str(root / "infos_train.pkl"), **kw)
+    ds_dev = RoadSideDataset(IDA_CONF, CLASSES, str(root),
+                             str(root / "infos_train.pkl"),
+                             device_normalize=True, **kw)
+    s_host = ds_host[0]["imgs"]
+    s_dev = ds_dev[0]["imgs"]
+    assert s_dev.dtype == np.uint8
+    assert s_host.dtype == np.float32
+    cfg = tiny_exp(False)
+    normed = np.asarray(normalize_images(jnp.asarray(s_dev), cfg))
+    np.testing.assert_allclose(normed, s_host, atol=1e-5)
+    # fp32 input passes through untouched
+    same = np.asarray(normalize_images(jnp.asarray(s_host), cfg))
+    np.testing.assert_array_equal(same, s_host)
+
+
+def test_dataloader_to_device(tmp_path):
+    """to_device batches arrive as committed jax arrays; metas stay host."""
+    import jax
+    root = _make_fake_root(tmp_path)
+    ds = RoadSideDataset(IDA_CONF, CLASSES, str(root),
+                         str(root / "infos_train.pkl"), is_train=True,
+                         max_objs=8, device_normalize=True)
+    loader = DataLoader(ds, 2, to_device=True)
+    imgs, mats, gt_boxes, gt_labels, gt_semantic, metas = next(iter(loader))
+    assert isinstance(imgs, jax.Array)
+    assert isinstance(mats["intrin_mats"], jax.Array)
+    assert isinstance(gt_boxes, jax.Array)
+    assert isinstance(metas, list)
