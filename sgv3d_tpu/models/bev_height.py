@@ -45,18 +45,20 @@ class BEVHeight(nn.Module):
     dtype: jnp.dtype | None = None  # backbone compute dtype (bf16 on TPU)
 
     @nn.compact
-    def __call__(self, sweep_imgs, mats: Mapping[str, Any], train: bool = False):
+    def __call__(self, sweep_imgs, mats: Mapping[str, Any], train: bool = False,
+                 cells=None):
         """Returns (task_preds, aux) where aux is the backbone's auxiliary
         output pair (assist features for LSSFPN, semantic logits for BSM).
 
         `sweep_imgs` may be normalized fp32 or raw uint8 (normalized
-        on-device, see `normalize_images`)."""
+        on-device, see `normalize_images`). `cells`: optional precomputed
+        `nn.lss_fpn.compute_lift_cells` (static-rig fast path)."""
         sweep_imgs = normalize_images(sweep_imgs, self.cfg)
         backbone_cls = BSMLSSFPN if self.cfg.backbone.is_bsm else LSSFPN
         backbone = backbone_cls(self.cfg.backbone, dtype=self.dtype,
                                 name="backbone")
         head = BEVHeightHead(self.cfg.head, name="head")
-        bev, aux = backbone(sweep_imgs, mats, train)
+        bev, aux = backbone(sweep_imgs, mats, train, cells)
         preds = head(bev, train)
         return preds, aux
 

@@ -28,30 +28,28 @@ from sgv3d_tpu.nn.second_fpn import SECONDFPN
 from sgv3d_tpu.ops.voxel_pooling import flatten_voxel_index, lift_splat_pool
 
 
-def _lift_and_splat(cfg: BackboneConfig, height_prob, tran_feat, mats, sweep,
-                    train: bool = False):
-    """Shared geometry + fused pooling. height_prob (BN, fH, fW, D),
-    tran_feat (BN, fH, fW, C) -> (B, Y, X, C) fp32.
+def compute_lift_cells(cfg: BackboneConfig, mats, sweep: int = 0,
+                       train: bool = False) -> jnp.ndarray:
+    """BEV cell index for every frustum point: geometry -> voxelize -> flatten.
 
-    In eval mode, `cfg.lift_top_k` pools only the top-k height bins per pixel
-    (measured on TPU: the exact 90-bin scatter is ~59 ms/batch-8 net, top-16
-    ~20 ms — see tools/profile_topk.py). Training always pools all bins so
-    gradients reach every height bin, like the reference."""
+    Returns (BN, HW, D) int32 in eval top-k mode (the layout
+    `topk_lift_inputs_hwd` consumes — an (fH, fW, D)-ordered frustum makes
+    geometry emit it transpose-free) or (B, N, D, fH, fW) otherwise.
+
+    Depends only on the calibration matrices, so for a static roadside rig
+    it can be computed ONCE and reused for every frame
+    (api.BEVHeightPredictor(static_rig=True)).
+    """
     b = mats["sensor2ego_mats"].shape[0]
     n = mats["sensor2ego_mats"].shape[2]
     f_h, f_w = cfg.feat_hw
     d = cfg.num_height_bins
     grid = cfg.voxel_grid
-    num_y, num_x = int(grid.voxel_num[1]), int(grid.voxel_num[0])
-
     frustum = jnp.asarray(
         geom.make_frustum(cfg.final_dim, cfg.effective_downsample, cfg.d_bound))
     use_topk = cfg.lift_top_k is not None and not train
     if use_topk:
-        # (fH, fW, D, 4) frustum: geometry is elementwise over the point
-        # grid, so this yields cell indices directly in the (HW, D) layout
-        # top-k wants — no (N, HW, D)-sized transposes anywhere.
-        frustum = frustum.transpose(1, 2, 0, 3)
+        frustum = frustum.transpose(1, 2, 0, 3)        # (fH, fW, D, 4)
     points = geom.get_geometry(
         frustum,
         mats["sensor2ego_mats"][:, sweep],
@@ -63,13 +61,37 @@ def _lift_and_splat(cfg: BackboneConfig, height_prob, tran_feat, mats, sweep,
     )
     vox = geom.geometry_to_voxel(points, grid)
     cell = flatten_voxel_index(vox, tuple(grid.voxel_num))
+    if use_topk:
+        return cell.reshape(b * n, f_h * f_w, d)
+    return cell
+
+
+def _lift_and_splat(cfg: BackboneConfig, height_prob, tran_feat, mats, sweep,
+                    train: bool = False, cells=None):
+    """Shared geometry + fused pooling. height_prob (BN, fH, fW, D),
+    tran_feat (BN, fH, fW, C) -> (B, Y, X, C) fp32.
+
+    In eval mode, `cfg.lift_top_k` pools only the top-k height bins per pixel
+    (measured on TPU: the exact 90-bin scatter is ~59 ms/batch-8 net, top-16
+    ~20 ms — see tools/profile_topk.py). Training always pools all bins so
+    gradients reach every height bin, like the reference. `cells` (optional)
+    is a precomputed `compute_lift_cells` result (static-rig fast path)."""
+    b = mats["sensor2ego_mats"].shape[0]
+    n = mats["sensor2ego_mats"].shape[2]
+    f_h, f_w = cfg.feat_hw
+    d = cfg.num_height_bins
+    grid = cfg.voxel_grid
+    num_y, num_x = int(grid.voxel_num[1]), int(grid.voxel_num[0])
+
+    use_topk = cfg.lift_top_k is not None and not train
+    cell = cells if cells is not None else compute_lift_cells(
+        cfg, mats, sweep, train)
 
     ctx = tran_feat.astype(jnp.float32).reshape(b * n, f_h * f_w, -1)
     if use_topk:
         from sgv3d_tpu.ops.voxel_pooling import topk_lift_inputs_hwd
         hp_hwd = height_prob.astype(jnp.float32).reshape(b * n, f_h * f_w, d)
-        cell_hwd = cell.reshape(b * n, f_h * f_w, d)
-        hp, cell = topk_lift_inputs_hwd(hp_hwd, cell_hwd, cfg.lift_top_k)
+        hp, cell = topk_lift_inputs_hwd(hp_hwd, cell, cfg.lift_top_k)
     else:
         hp = height_prob.astype(jnp.float32).transpose(0, 3, 1, 2)
         hp = hp.reshape(b * n, d, f_h * f_w)
@@ -84,9 +106,12 @@ class LSSFPN(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, sweep_imgs, mats: Mapping[str, Any], train: bool):
+    def __call__(self, sweep_imgs, mats: Mapping[str, Any], train: bool,
+                 cells=None):
         """sweep_imgs: (B, S, N, H, W, 3). Returns bev (B, Y, X, C) fp32 and,
-        in train-height mode, the (assist, assist) aux features pair."""
+        in train-height mode, the (assist, assist) aux features pair.
+        `cells`: optional precomputed `compute_lift_cells` for the key sweep
+        (static-rig fast path; past sweeps always recompute)."""
         cfg = self.cfg
         b, s, n = sweep_imgs.shape[:3]
         backbone = ResNet(cfg.resnet_depth, out_indices=(0, 1, 2, 3),
@@ -111,7 +136,8 @@ class LSSFPN(nn.Module):
             assist = assist_layer(feat)
             h_logits, context = height_net(feat, mlp_input, train)
             height = jax.nn.softmax(h_logits.astype(jnp.float32), axis=-1)
-            bev = _lift_and_splat(cfg, height, context, mats, sweep, train)
+            bev = _lift_and_splat(cfg, height, context, mats, sweep, train,
+                                  cells if sweep == 0 else None)
             return bev, assist
 
         bev, assist = single_sweep(0)
@@ -129,8 +155,10 @@ class BSMLSSFPN(nn.Module):
     bg_threshold: float = 0.45
 
     @nn.compact
-    def __call__(self, sweep_imgs, mats: Mapping[str, Any], train: bool):
-        """Returns bev (B, Y, X, C+S) fp32 and (semantic0, semantic1) logits."""
+    def __call__(self, sweep_imgs, mats: Mapping[str, Any], train: bool,
+                 cells=None):
+        """Returns bev (B, Y, X, C+S) fp32 and (semantic0, semantic1) logits.
+        `cells`: optional precomputed `compute_lift_cells` (key sweep only)."""
         cfg = self.cfg
         b, s, n = sweep_imgs.shape[:3]
         backbone = ResNet(cfg.resnet_depth, out_indices=(0, 1, 2, 3),
@@ -165,7 +193,8 @@ class BSMLSSFPN(nn.Module):
             # Background suppression: zero features where P(background) > thr.
             keep = (semantic[..., 0:1] <= self.bg_threshold).astype(jnp.float32)
             tran_feat = tran_feat * keep
-            bev = _lift_and_splat(cfg, height, tran_feat, mats, sweep, train)
+            bev = _lift_and_splat(cfg, height, tran_feat, mats, sweep, train,
+                                  cells if sweep == 0 else None)
             return bev, (semantic0, semantic1)
 
         bev, aux = single_sweep(0)

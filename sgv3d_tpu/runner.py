@@ -129,7 +129,16 @@ def train(cfg: ExpConfig, data_root: str | None = None,
 def evaluate(cfg: ExpConfig, ckpt_path: str | None = None,
              data_root: str | None = None, output_dir: str | None = None,
              val_info_path: str | None = None, state: TrainState | None = None,
-             max_batches: int | None = None, num_devices: int | None = None):
+             max_batches: int | None = None, num_devices: int | None = None,
+             ckpt_step: int | None = None):
+    """Evaluate the val set; returns (mAP, ret_dict).
+
+    Like the reference's `-e` mode (/root/reference/exps/...:480-491), a
+    `ckpt_path` directory is evaluated checkpoint-BY-checkpoint (every saved
+    step, oldest first, each writing its own `epoch_result_<mAP>.txt`);
+    `ckpt_step` restricts to one step. The returned value is the last
+    (newest) checkpoint's result.
+    """
     data_root = data_root or cfg.data_root
     output_dir = output_dir or os.path.join("outputs", cfg.name)
     _, val_info = default_info_paths(cfg, data_root)
@@ -143,14 +152,33 @@ def evaluate(cfg: ExpConfig, ckpt_path: str | None = None,
 
     mesh = make_mesh(n_dev)
     model = build_model(cfg)
+    eval_step = make_eval_step(model, cfg, mesh=mesh)
+
     if state is None:
         tx, _ = make_optimizer(cfg, 1, 1)
         sample = next(iter(DataLoader(dataset, 1, prefetch=False)))
-        state = create_train_state(model, cfg, tx, (sample[0], sample[1]))
+        template = create_train_state(model, cfg, tx, (sample[0], sample[1]))
         if ckpt_path:
-            state = CheckpointManager(ckpt_path).restore(state)
-    eval_step = make_eval_step(model, cfg, mesh=mesh)
+            mgr = CheckpointManager(ckpt_path)
+            steps = [ckpt_step] if ckpt_step is not None else mgr.all_steps()
+            if not steps:
+                raise FileNotFoundError(f"no checkpoint in {ckpt_path}")
+            out = None
+            for s in steps:
+                print(f"evaluating checkpoint step {s}")
+                st = mgr.restore(template, step=s)
+                out = _evaluate_state(cfg, st, eval_step, loader, dataset,
+                                      mesh, data_root, output_dir,
+                                      max_batches, n_dev)
+            return out
+        state = template
+    return _evaluate_state(cfg, state, eval_step, loader, dataset, mesh,
+                           data_root, output_dir, max_batches, n_dev)
 
+
+def _evaluate_state(cfg: ExpConfig, state: TrainState, eval_step, loader,
+                    dataset, mesh, data_root: str, output_dir: str,
+                    max_batches: int | None, n_dev: int):
     global_batch = cfg.batch_size_per_device * n_dev
     results, img_metas = [], []
     for bi, batch in enumerate(loader):

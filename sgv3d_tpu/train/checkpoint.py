@@ -35,6 +35,9 @@ class CheckpointManager:
     def latest_step(self) -> int | None:
         return self._mgr.latest_step()
 
+    def all_steps(self) -> list[int]:
+        return sorted(self._mgr.all_steps())
+
     def restore(self, template: TrainState, step: int | None = None
                 ) -> TrainState:
         step = step if step is not None else self.latest_step()

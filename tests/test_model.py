@@ -130,6 +130,33 @@ def test_predictor_api_nchw():
     np.testing.assert_allclose(results2[0][0], boxes, atol=1e-5)
 
 
+def test_predictor_static_rig_matches():
+    """static_rig geometry caching is exact: same boxes, and the cached cells
+    are recomputed only when the calibration changes."""
+    from sgv3d_tpu.api import BEVHeightPredictor
+    import dataclasses
+    cfg = tiny_exp(False)
+    # exercise the top-k path too (cells layout (BN, HW, D))
+    cfg = dataclasses.replace(
+        cfg, backbone=dataclasses.replace(cfg.backbone, lift_top_k=4))
+    imgs, mats, *_ = make_batch(cfg, batch=2, num_objs=2)
+    model, variables = _init_model(cfg, imgs, mats, False)
+    plain = BEVHeightPredictor(cfg, variables, use_bf16=False)
+    rig = BEVHeightPredictor(cfg, variables, use_bf16=False, static_rig=True)
+    r1 = plain(imgs, mats)
+    r2 = rig(imgs, mats)
+    np.testing.assert_allclose(r2[0][0], r1[0][0], atol=1e-5)
+    key1 = rig._cells_key
+    rig(imgs, mats)
+    assert rig._cells_key is key1  # cache hit (no recompute)
+    mats2 = dict(mats)
+    ida = np.array(mats["ida_mats"]).copy()
+    ida[..., 0, 0] *= 1.1
+    mats2["ida_mats"] = ida
+    rig(imgs, mats2)
+    assert rig._cells_key != key1  # calib change invalidates
+
+
 @pytest.mark.slow
 def test_topk_lift_near_exact_after_training():
     """Deploy-default proof (VERDICT r1 #2): after training, the DID height

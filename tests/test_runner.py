@@ -94,9 +94,17 @@ def test_train_resume_evaluate(tmp_path):
     result = runner.evaluate(cfg, data_root=root, output_dir=out_dir,
                              state=state2, num_devices=2)
     assert result is not None
+
+    # reference -e semantics: a ckpt_path dir is evaluated per checkpoint
+    ckpt_dir = os.path.join(out_dir, "checkpoints")
+    from sgv3d_tpu.train.checkpoint import CheckpointManager
+    assert len(CheckpointManager(ckpt_dir).all_steps()) >= 2
+    res2 = runner.evaluate(cfg, data_root=root, output_dir=out_dir,
+                           ckpt_path=ckpt_dir, num_devices=2, max_batches=1)
+    assert res2 is not None
     mAP, ret = result
     assert "KITTI/Car_3D_moderate_strict" in ret
     r40_dir = os.path.join(out_dir, "metrics", "R40")
-    assert len(os.listdir(r40_dir)) == 1
+    assert len(os.listdir(r40_dir)) >= 1
     # untrained model on random images: AP is a finite number (usually 0)
     assert np.isfinite(mAP)

@@ -22,6 +22,9 @@ def main():
     parser.add_argument("-e", "--evaluate", action="store_true")
     parser.add_argument("-b", "--batch_size_per_device", type=int)
     parser.add_argument("--ckpt_path", type=str, default=None)
+    parser.add_argument("--ckpt_step", type=int, default=None,
+                        help="evaluate only this checkpoint step "
+                             "(default: every step in --ckpt_path)")
     parser.add_argument("--data_root", type=str, default=None)
     parser.add_argument("--val_info_path", type=str, default=None)
     parser.add_argument("--train_info_path", type=str, default=None)
@@ -43,7 +46,8 @@ def main():
         runner.evaluate(cfg, ckpt_path=args.ckpt_path,
                         data_root=args.data_root,
                         output_dir=args.output_dir,
-                        val_info_path=args.val_info_path)
+                        val_info_path=args.val_info_path,
+                        ckpt_step=args.ckpt_step)
     else:
         runner.train(cfg, data_root=args.data_root,
                      output_dir=args.output_dir,
