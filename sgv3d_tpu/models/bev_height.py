@@ -43,6 +43,11 @@ def normalize_images(imgs: jnp.ndarray, cfg: ExpConfig) -> jnp.ndarray:
 class BEVHeight(nn.Module):
     cfg: ExpConfig
     dtype: jnp.dtype | None = None  # backbone compute dtype (bf16 on TPU)
+    # Optional spatial sharding of the BEV map over a mesh axis (SP for the
+    # big 1408^2 grids): a NamedSharding like P(None, "bev") applied between
+    # the lift and the BEV head. XLA then partitions every head conv
+    # spatially and inserts the halo exchanges over ICI automatically.
+    bev_sharding: Any = None
 
     @nn.compact
     def __call__(self, sweep_imgs, mats: Mapping[str, Any], train: bool = False,
@@ -59,6 +64,8 @@ class BEVHeight(nn.Module):
                                 name="backbone")
         head = BEVHeightHead(self.cfg.head, name="head")
         bev, aux = backbone(sweep_imgs, mats, train, cells)
+        if self.bev_sharding is not None:
+            bev = jax.lax.with_sharding_constraint(bev, self.bev_sharding)
         preds = head(bev, train)
         return preds, aux
 

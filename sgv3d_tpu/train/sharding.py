@@ -16,11 +16,30 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_devices: int | None = None, axis_name: str = "data") -> Mesh:
+def make_mesh(n_devices: int | None = None, axis_name: str = "data",
+              bev_parallel: int = 1) -> Mesh:
+    """1-D data mesh, or a 2-D (data, bev) mesh when `bev_parallel` > 1.
+
+    The `bev` axis spatially shards the BEV map (and thus every BEV-head
+    conv, with XLA-inserted halo exchanges) — hybrid DP x SP for the big
+    1408^2 grids. Pair with `bev_sharding(mesh)` on the model.
+    """
     devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
+    if bev_parallel > 1:
+        assert len(devices) % bev_parallel == 0
+        return Mesh(np.asarray(devices).reshape(-1, bev_parallel),
+                    (axis_name, "bev"))
     return Mesh(np.asarray(devices), (axis_name,))
+
+
+def bev_sharding(mesh: Mesh) -> NamedSharding | None:
+    """Spatial (Y-axis) sharding spec for (B, Y, X, C) BEV maps, or None on
+    a mesh without a `bev` axis."""
+    if "bev" not in mesh.axis_names:
+        return None
+    return NamedSharding(mesh, P(None, "bev"))
 
 
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:

@@ -31,3 +31,38 @@ def test_head_on_spatially_sharded_bev(rng):
             np.testing.assert_allclose(
                 np.asarray(out[t][k]), np.asarray(ref[t][k]),
                 rtol=1e-4, atol=1e-4)
+
+
+def test_hybrid_dp_sp_train_step_matches_dp(rng):
+    """One train step on a hybrid (data=2, bev=2) mesh — batch sharded over
+    `data`, BEV map spatially sharded over `bev` (halo exchanges in the head
+    convs) — produces the same loss as the plain DP mesh."""
+    from sgv3d_tpu.data.synthetic import make_batch
+    from sgv3d_tpu.models.bev_height import BEVHeight
+    from sgv3d_tpu.train import (create_train_state, make_mesh,
+                                 make_optimizer, make_train_step, shard_batch)
+    from sgv3d_tpu.train.sharding import bev_sharding
+    from tests.tiny_configs import tiny_exp
+
+    cfg = tiny_exp(True)
+    imgs, mats, gt_boxes, gt_labels, gt_semantic = make_batch(
+        cfg, batch=4, num_objs=3, seed=1)
+    tx, _ = make_optimizer(cfg, 1, steps_per_epoch=10)
+
+    def one_step(mesh, model):
+        state = create_train_state(model, cfg, tx, (imgs[:1], mats))
+        step = make_train_step(model, cfg, tx, mesh=mesh, donate=False)
+        batch = shard_batch(mesh, (
+            jnp.asarray(imgs), {k: jnp.asarray(v) for k, v in mats.items()},
+            jnp.asarray(gt_boxes), jnp.asarray(gt_labels),
+            jnp.asarray(gt_semantic)))
+        _, metrics = step(state, *batch)
+        return float(jax.device_get(metrics["total_loss"]))
+
+    mesh_dp = make_mesh(4)
+    loss_dp = one_step(mesh_dp, BEVHeight(cfg))
+    mesh_sp = make_mesh(4, bev_parallel=2)
+    loss_sp = one_step(mesh_sp, BEVHeight(cfg,
+                                          bev_sharding=bev_sharding(mesh_sp)))
+    assert np.isfinite(loss_dp) and np.isfinite(loss_sp)
+    np.testing.assert_allclose(loss_sp, loss_dp, rtol=1e-4)
