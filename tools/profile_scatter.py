@@ -66,5 +66,26 @@ def main():
            height, ctx80, cell_index)
 
 
+
+
+def dcn_gather_width_sweep():
+    """Is the DCN windowed (2,2,C) gather row- or byte-bound? Run with
+    `python tools/profile_scatter.py dcn`."""
+    from sgv3d_tpu.ops.dcn import bilinear_sample_window_nhwc
+    rng = np.random.default_rng(0)
+    B, H, W = 8, 54, 96
+    M = H * W * 9
+    py = jnp.asarray(rng.uniform(-1, H, (B, M)).astype(np.float32))
+    px = jnp.asarray(rng.uniform(-1, W, (B, M)).astype(np.float32))
+    for c in (64, 128, 256, 512):
+        x = jnp.asarray(rng.normal(size=(B, H, W, c)).astype(np.float32)
+                        ).astype(jnp.bfloat16)
+        timeit(f"dcn window gather C={c} ({B}x{M} slices)",
+               jax.jit(bilinear_sample_window_nhwc), x, py, px)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "dcn":
+        dcn_gather_width_sweep()
+    else:
+        main()

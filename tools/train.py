@@ -32,6 +32,9 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--max_steps", type=int, default=None)
     parser.add_argument("--no_resume", action="store_true")
+    parser.add_argument("--exact_lift", action="store_true",
+                        help="evaluate with the exact all-bin lift instead "
+                             "of the top-k deploy default")
     args = parser.parse_args()
 
     from sgv3d_tpu.configs import get_exp
@@ -43,6 +46,10 @@ def main():
             cfg, batch_size_per_device=args.batch_size_per_device)
     if args.evaluate:
         cfg = dataclasses.replace(cfg, is_train_height=False)
+        if args.exact_lift:
+            cfg = dataclasses.replace(
+                cfg, backbone=dataclasses.replace(cfg.backbone,
+                                                  lift_top_k=None))
         runner.evaluate(cfg, ckpt_path=args.ckpt_path,
                         data_root=args.data_root,
                         output_dir=args.output_dir,
