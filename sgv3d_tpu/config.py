@@ -29,6 +29,11 @@ class BackboneConfig:
     # exact, all bins). The DID softmax concentrates its mass in a few bins,
     # so k ~ 16 cuts the BEV scatter ~6x with negligible output change.
     lift_top_k: int | None = None
+    # Rematerialize the image backbone + neck during training (activations
+    # recomputed in the backward pass instead of stored). Required for the
+    # heavy variants (r101 / 180 bins / 1024+ head grid) to fit one chip's
+    # HBM; costs ~1/3 extra forward FLOPs.
+    remat_backbone: bool = False
 
     @property
     def voxel_grid(self) -> VoxelGrid:

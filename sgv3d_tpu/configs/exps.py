@@ -28,6 +28,9 @@ def _backbone(depth, voxel, d_bound, xmax=102.4, ymax=51.2, is_bsm=False):
         # (tests/test_model.py::test_topk_lift_near_exact_after_training)
         # and cuts the BEV scatter ~3x (tools/profile_topk.py).
         lift_top_k=16,
+        # Heavy variants (r101 backbone or 180 height bins) need backbone
+        # remat to fit a training step in one chip's HBM.
+        remat_backbone=(depth >= 101 or int(d_bound[2]) >= 180),
     )
 
 

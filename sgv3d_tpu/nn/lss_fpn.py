@@ -114,8 +114,10 @@ class LSSFPN(nn.Module):
         (static-rig fast path; past sweeps always recompute)."""
         cfg = self.cfg
         b, s, n = sweep_imgs.shape[:3]
-        backbone = ResNet(cfg.resnet_depth, out_indices=(0, 1, 2, 3),
-                          dtype=self.dtype, name="img_backbone")
+        resnet_cls = (nn.remat(ResNet, static_argnums=(2,))
+                      if (cfg.remat_backbone and train) else ResNet)
+        backbone = resnet_cls(cfg.resnet_depth, out_indices=(0, 1, 2, 3),
+                              dtype=self.dtype, name="img_backbone")
         neck = SECONDFPN(cfg.img_neck_out_channels, (0.25, 0.5, 1, 2),
                          dtype=self.dtype, name="img_neck")
         height_net = HeightNet(
@@ -161,8 +163,10 @@ class BSMLSSFPN(nn.Module):
         `cells`: optional precomputed `compute_lift_cells` (key sweep only)."""
         cfg = self.cfg
         b, s, n = sweep_imgs.shape[:3]
-        backbone = ResNet(cfg.resnet_depth, out_indices=(0, 1, 2, 3),
-                          dtype=self.dtype, name="img_backbone")
+        resnet_cls = (nn.remat(ResNet, static_argnums=(2,))
+                      if (cfg.remat_backbone and train) else ResNet)
+        backbone = resnet_cls(cfg.resnet_depth, out_indices=(0, 1, 2, 3),
+                              dtype=self.dtype, name="img_backbone")
         neck16 = SECONDFPN(cfg.img_neck_out_channels, (0.25, 0.5, 1, 2),
                            dtype=self.dtype, name="img_neck_16")
         neck8 = SECONDFPN(cfg.img_neck_out_channels, (0.5, 1, 2, 4),

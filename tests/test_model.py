@@ -276,3 +276,50 @@ def test_topk_lift_near_exact_after_training():
     np.testing.assert_allclose(np.asarray(t_topk[0][0]["heatmap"]),
                                np.asarray(t_exact[0][0]["heatmap"]),
                                atol=1e-6)
+
+
+def test_remat_backbone_grads_match():
+    """remat_backbone recomputes activations but must give identical loss
+    and gradients to the stored-activation path."""
+    import dataclasses
+
+    from sgv3d_tpu.models.bev_height import train_loss
+
+    cfg = tiny_exp(False)
+    cfg_r = dataclasses.replace(
+        cfg, backbone=dataclasses.replace(cfg.backbone, remat_backbone=True))
+    imgs, mats, gt_boxes, gt_labels, gt_semantic = make_batch(
+        cfg, batch=1, num_objs=2)
+    jmats = {k: jnp.asarray(v) for k, v in mats.items()}
+    model = BEVHeight(cfg)
+    model_r = BEVHeight(cfg_r)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(imgs), jmats, True)
+
+    def loss_of(mdl):
+        def f(params):
+            (preds, aux), _ = mdl.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                jnp.asarray(imgs), jmats, True,
+                rngs={"dropout": jax.random.PRNGKey(2)},
+                mutable=["batch_stats"])
+            loss, _ = train_loss(cfg, preds, aux, jnp.asarray(gt_boxes),
+                                 jnp.asarray(gt_labels), None, None)
+            return loss
+        return jax.value_and_grad(f)(variables["params"])
+
+    l0, g0 = loss_of(model)
+    l1, g1 = loss_of(model_r)
+    # remat recomputes the forward, so XLA may fuse it differently — values
+    # agree to recompute-roundoff (which amplifies through deep chains), so
+    # check the loss tightly and the gradient direction/magnitude globally.
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-4)
+    v0 = np.concatenate([np.asarray(g).ravel()
+                         for g in jax.tree_util.tree_leaves(g0)])
+    v1 = np.concatenate([np.asarray(g).ravel()
+                         for g in jax.tree_util.tree_leaves(g1)])
+    cos = float(v0 @ v1 / (np.linalg.norm(v0) * np.linalg.norm(v1)))
+    assert cos > 0.99999, f"gradient direction diverged: cos={cos}"
+    np.testing.assert_allclose(np.linalg.norm(v1), np.linalg.norm(v0),
+                               rtol=1e-3)
