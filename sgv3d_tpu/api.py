@@ -86,10 +86,12 @@ class BEVHeightPredictor:
                 for i in range(boxes.shape[0])]
 
 
-def load_predictor(cfg: ExpConfig, ckpt_path: str) -> BEVHeightPredictor:
-    """Build a predictor from an orbax checkpoint directory."""
+def load_variables(cfg: ExpConfig, ckpt_path: str) -> Mapping[str, Any]:
+    """Model variables from either an orbax checkpoint DIRECTORY (training
+    output) or a flax-msgpack FILE (tools/convert_weights.py output)."""
+    import os
+
     from sgv3d_tpu.data.synthetic import make_batch
-    from sgv3d_tpu.train.checkpoint import CheckpointManager
     from sgv3d_tpu.train.loop import create_train_state
     from sgv3d_tpu.train.optim import make_optimizer
 
@@ -97,6 +99,18 @@ def load_predictor(cfg: ExpConfig, ckpt_path: str) -> BEVHeightPredictor:
     tx, _ = make_optimizer(cfg, 1, 1)
     imgs, mats, *_ = make_batch(cfg, batch=1, num_objs=1)
     state = create_train_state(model, cfg, tx, (imgs, mats))
+    template = {"params": state.params, "batch_stats": state.batch_stats}
+    if os.path.isfile(ckpt_path):
+        from flax.serialization import from_bytes
+        with open(ckpt_path, "rb") as f:
+            return from_bytes(template, f.read())
+    from sgv3d_tpu.train.checkpoint import CheckpointManager
     state = CheckpointManager(ckpt_path).restore(state)
-    return BEVHeightPredictor(
-        cfg, {"params": state.params, "batch_stats": state.batch_stats})
+    return {"params": state.params, "batch_stats": state.batch_stats}
+
+
+def load_predictor(cfg: ExpConfig, ckpt_path: str,
+                   **predictor_kwargs) -> BEVHeightPredictor:
+    """Build a predictor from an orbax checkpoint dir or a msgpack file."""
+    return BEVHeightPredictor(cfg, load_variables(cfg, ckpt_path),
+                              **predictor_kwargs)

@@ -158,6 +158,18 @@ def evaluate(cfg: ExpConfig, ckpt_path: str | None = None,
         tx, _ = make_optimizer(cfg, 1, 1)
         sample = next(iter(DataLoader(dataset, 1, prefetch=False)))
         template = create_train_state(model, cfg, tx, (sample[0], sample[1]))
+        if ckpt_path and os.path.isfile(ckpt_path):
+            # flax-msgpack file (tools/convert_weights.py output)
+            from flax.serialization import from_bytes
+            with open(ckpt_path, "rb") as f:
+                variables = from_bytes(
+                    {"params": template.params,
+                     "batch_stats": template.batch_stats}, f.read())
+            state = template._replace(params=variables["params"],
+                                      batch_stats=variables["batch_stats"])
+            return _evaluate_state(cfg, state, eval_step, loader, dataset,
+                                   mesh, data_root, output_dir, max_batches,
+                                   n_dev)
         if ckpt_path:
             mgr = CheckpointManager(ckpt_path)
             steps = [ckpt_step] if ckpt_step is not None else mgr.all_steps()

@@ -217,3 +217,33 @@ def test_full_bsm_mapping_coverage():
     ]
     for key in expect:
         assert key in sd, key
+
+
+def test_msgpack_variables_round_trip(tmp_path):
+    """Converter-format msgpack files load back through api.load_variables
+    and produce identical predictions."""
+    import jax
+    import jax.numpy as jnp
+    from flax.serialization import msgpack_serialize
+
+    from sgv3d_tpu.data.synthetic import make_batch
+    from sgv3d_tpu.models.bev_height import BEVHeight
+    from tests.tiny_configs import tiny_exp
+
+    cfg = tiny_exp(False)
+    imgs, mats, *_ = make_batch(cfg, batch=1, num_objs=2)
+    model = BEVHeight(cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(imgs), {k: jnp.asarray(v) for k, v in mats.items()},
+        False)
+    path = tmp_path / "weights.msgpack"
+    with open(path, "wb") as f:
+        f.write(msgpack_serialize(
+            jax.tree_util.tree_map(np.asarray, dict(variables))))
+
+    from sgv3d_tpu.api import BEVHeightPredictor, load_variables
+    loaded = load_variables(cfg, str(path))
+    p1 = BEVHeightPredictor(cfg, variables, use_bf16=False)(imgs, mats)
+    p2 = BEVHeightPredictor(cfg, loaded, use_bf16=False)(imgs, mats)
+    np.testing.assert_allclose(p2[0][0], p1[0][0], atol=1e-6)

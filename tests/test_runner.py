@@ -108,3 +108,37 @@ def test_train_resume_evaluate(tmp_path):
     assert len(os.listdir(r40_dir)) >= 1
     # untrained model on random images: AP is a finite number (usually 0)
     assert np.isfinite(mAP)
+
+
+def test_evaluate_from_msgpack_file(tmp_path):
+    """-e accepts a converter-format msgpack FILE as --ckpt_path."""
+    import jax
+    import jax.numpy as jnp
+    from flax.serialization import msgpack_serialize
+
+    from sgv3d_tpu.data.synthetic import make_batch
+    from sgv3d_tpu.models.bev_height import BEVHeight
+
+    root = _fake_root(tmp_path)
+    cfg = tiny_exp(is_bsm=False)
+    cfg = dataclasses.replace(
+        cfg,
+        backbone=dataclasses.replace(cfg.backbone, final_dim=(64, 96)),
+        batch_size_per_device=2, data_root=root, src_hw=(H_IMG, W_IMG),
+        is_train_height=False)
+
+    imgs, mats, *_ = make_batch(cfg, batch=1, num_objs=1)
+    model = BEVHeight(cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(imgs), {k: jnp.asarray(v) for k, v in mats.items()},
+        False)
+    path = tmp_path / "converted.msgpack"
+    with open(path, "wb") as f:
+        f.write(msgpack_serialize(
+            jax.tree_util.tree_map(np.asarray, dict(variables))))
+
+    out_dir = str(tmp_path / "outputs")
+    res = runner.evaluate(cfg, ckpt_path=str(path), data_root=root,
+                          output_dir=out_dir, num_devices=2, max_batches=1)
+    assert res is not None and np.isfinite(res[0])
