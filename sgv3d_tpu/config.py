@@ -6,8 +6,6 @@ Reference conf sites: /root/reference/exps/sgv3d/bsm_bev_height_lss_r50_864_1536
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence
-
 from sgv3d_tpu.geom import VoxelGrid
 
 

@@ -6,8 +6,6 @@ Variant axes (reference: /root/reference/exps/**): dataset root, ResNet depth
 """
 from __future__ import annotations
 
-import dataclasses
-
 from sgv3d_tpu.config import BackboneConfig, ExpConfig, HeadConfig
 
 

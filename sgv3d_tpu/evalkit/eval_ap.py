@@ -10,7 +10,7 @@ comparable.
 from __future__ import annotations
 
 import io
-from typing import List, Sequence
+from typing import List
 
 import numpy as np
 

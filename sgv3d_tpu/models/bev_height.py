@@ -14,7 +14,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from sgv3d_tpu.config import ExpConfig, HeadConfig
+from sgv3d_tpu.config import ExpConfig
 from sgv3d_tpu.heads.bev_head import BEVHeightHead
 from sgv3d_tpu.heads.losses import head_loss
 from sgv3d_tpu.heads.targets import get_targets

@@ -105,7 +105,7 @@ def pallas_sorted_segment_pool(keys: jnp.ndarray, vals: jnp.ndarray,
         # The accumulator lives in a single VMEM scratch (a VMEM-resident
         # output block would be double-buffered and overflow VMEM); the
         # output stays in HBM and receives one DMA per camera.
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((n, rows, c), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((rows, c), jnp.float32),

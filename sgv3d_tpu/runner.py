@@ -9,9 +9,6 @@ from __future__ import annotations
 
 import glob
 import os
-import time
-from typing import Iterable
-
 import jax
 import jax.numpy as jnp
 import numpy as np

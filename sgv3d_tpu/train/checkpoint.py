@@ -7,10 +7,7 @@ with auto-resume from the latest step.
 from __future__ import annotations
 
 import os
-from typing import Any
-
 import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from sgv3d_tpu.train.loop import TrainState

@@ -13,7 +13,6 @@ Run: python tools/spike_pallas_gather.py  (TPU)
 """
 from __future__ import annotations
 
-import functools
 import time
 
 import jax
