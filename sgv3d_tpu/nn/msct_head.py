@@ -13,6 +13,10 @@ import jax.numpy as jnp
 from sgv3d_tpu.nn.blocks import (
     ASPP, ConvBNReLU, Mlp, SELayer, TaskFPN, TaskHead, conv)
 
+# NOTE: there is deliberately no flax `depth_head0` module — see the stage-one
+# comment in __call__; its reference weights are dead and the converter skips
+# `height_net.depth_head0.*` torch keys.
+
 
 class MSCThead(nn.Module):
     mid_channels: tuple[int, int] = (512, 256)
@@ -43,9 +47,12 @@ class MSCThead(nn.Module):
         f1 = SELayer(m1, dtype=self.dtype, name="scale1_se")(f1, se1)
         f0 = ASPP(m0, dtype=self.dtype, name="aspp")(f0, train)
 
-        # Stage one (stride 16)
-        depth_feat = TaskHead(m0, with_head=False, dtype=self.dtype,
-                              name="depth_head0")(f0, train)
+        # Stage one (stride 16). The reference's `depth_head0` is a
+        # TaskHead(with_head=False) called with the default return_feat=True,
+        # whose forward returns its input UNCHANGED (the decoder params exist
+        # in checkpoints but are never run and receive no gradient —
+        # bsm_lss_fpn.py:195-201,306). Mirror that exactly: identity.
+        depth_feat = f0
         semantic0, semantic_feat = TaskHead(
             m0, self.semantic_channels, dtype=self.dtype,
             name="semantic_head0")(f0, train)

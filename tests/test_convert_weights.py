@@ -203,7 +203,6 @@ def test_full_bsm_mapping_coverage():
         "model.backbone.height_net.scale0_se.conv_expand.weight",
         "model.backbone.height_net.aspp.aspp3.atrous_conv.weight",
         "model.backbone.height_net.aspp.global_avg_pool.1.weight",
-        "model.backbone.height_net.depth_head0.decoder.0.conv1.weight",
         "model.backbone.height_net.semantic_head0.head.weight",
         "model.backbone.height_net.depth_fpn.reduce_conv.weight",
         "model.backbone.height_net.semantic_fpn.self_attention.attention.0"

@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(__file__))
 
 from convert_weights import convert_state_dict  # noqa: E402
 from torch_oracle import (  # noqa: E402
-    TorchBEVHeight, numpy_decode, randomize_params)
+    TorchBEVHeight, TorchBSMBEVHeight, numpy_decode, randomize_params)
 
 from sgv3d_tpu.config import BackboneConfig, ExpConfig, HeadConfig, Task
 from sgv3d_tpu.data.synthetic import make_batch
@@ -30,32 +30,51 @@ from sgv3d_tpu.evalkit.kitti_writer import result2kitti
 from sgv3d_tpu.models.bev_height import BEVHeight
 
 
-def _e2e_cfg():
+def _e2e_cfg(is_bsm: bool):
     backbone = BackboneConfig(
         x_bound=(0.0, 25.6, 0.4), y_bound=(-12.8, 12.8, 0.4),
         z_bound=(-5.0, 3.0, 8.0), d_bound=(-2.0, 0.0, 8),
         final_dim=(64, 96), output_channels=16, downsample_factor=16,
         resnet_depth=18, img_neck_out_channels=(8, 8, 8, 8),
-        height_net_mid_channels=(32, 16), semantic_channels=4, is_bsm=False)
+        height_net_mid_channels=(32, 16), semantic_channels=4, is_bsm=is_bsm)
     head = HeadConfig(
         tasks=(Task(("car",)), Task(("pedestrian", "cyclist"))),
-        bev_backbone_in_channels=16, bev_backbone_base_channels=16,
+        # BSM BEV features carry context + semantic channels (16 + 4).
+        bev_backbone_in_channels=20 if is_bsm else 16,
+        bev_backbone_base_channels=16,
         bev_neck_out_channels=(8, 8, 8, 8), share_conv_channels=16,
         point_cloud_range=(0, -12.8, -5, 25.6, 12.8, 3),
         grid_size=(64, 64, 1), voxel_size=(0.4, 0.4, 8), max_objs=8,
         max_per_task=16, post_max_size=8, nms_min_radius=(0.8, 0.4),
-        score_threshold=0.1)
+        # BSM's suppression zeroes most BEV cells, so the map's constant
+        # border regions produce periodic candidates whose scores agree
+        # between the stacks to ~1e-7 but order differently at the top-k
+        # cutoff (a true near-tie, not a parity bug — verified value-level
+        # agreement). A threshold above that ~0.54 plateau keeps the
+        # compared sets well-separated in score.
+        score_threshold=0.6 if is_bsm else 0.1)
     return ExpConfig(name="e2e_parity", backbone=backbone, head=head,
                      classes=("car", "pedestrian", "cyclist"))
 
 
-@pytest.fixture(scope="module")
-def parity_setup():
-    cfg = _e2e_cfg()
+@pytest.fixture(scope="module", params=[False, True],
+                ids=["bevheight", "bsm"])
+def parity_setup(request):
+    """Oracle + converted flax model for both families: BEVHeight (non-BSM)
+    and the flagship BSM/SGV3D graph (MSCThead, TaskFPN+SABlock fusion,
+    stride-8 lift, semantic>0.45 suppression)."""
+    is_bsm = request.param
+    cfg = _e2e_cfg(is_bsm)
     imgs, mats, *_ = make_batch(cfg, batch=2, num_objs=4, seed=11)
 
-    tm = TorchBEVHeight(cfg).eval()
-    randomize_params(tm, seed=7)
+    oracle_cls = TorchBSMBEVHeight if is_bsm else TorchBEVHeight
+    tm = oracle_cls(cfg).eval()
+    # The MSCThead stack is much deeper than HeightNet; scale-0.2 random
+    # weights decay its activations to a flat heatmap (nothing but exact-tie
+    # border candidates). Scale 1.15 keeps distinct data-driven peaks with
+    # adjacent top-k scores separated by >2e-6 (measured), far above the
+    # ~2e-8 cross-stack numerical noise, so ranking is well-defined.
+    randomize_params(tm, seed=7, scale=1.15 if is_bsm else 0.2)
 
     model = BEVHeight(cfg)  # fp32
     variables = model.init(
@@ -66,16 +85,22 @@ def parity_setup():
     sd = {"model." + k: v.numpy() for k, v in tm.state_dict().items()
           if "num_batches_tracked" not in k}
     new_vars, used, missing = convert_state_dict(
-        sd, dict(variables), strict=False, is_bsm=False)
+        sd, dict(variables), strict=False, is_bsm=is_bsm)
     # Every unmapped flax path must be a bias the reference module does not
-    # have (ConvModule/DCN bias=False) and must sit at its zero init, so the
-    # two graphs are numerically identical.
+    # have (ConvModule/DCN/SABlock bias=False) and must sit at its zero init,
+    # so the two graphs are numerically identical.
     for path in missing:
         assert path[-1] == "bias", path
         node = new_vars[path[0]]
         for name in path[1:]:
             node = node[name]
         assert np.all(np.asarray(node) == 0.0), path
+    # The only torch keys a BSM conversion may leave unused are the dead
+    # depth_head0 decoder weights (never run in the reference forward).
+    unused = {k for k in sd if k not in used
+              and "num_batches_tracked" not in k}
+    allowed = {k for k in unused if ".height_net.depth_head0." in k}
+    assert unused == allowed, unused - allowed
     return cfg, imgs, mats, tm, model, new_vars
 
 

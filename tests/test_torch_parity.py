@@ -14,6 +14,7 @@ import torch.nn as tnn
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
 from convert_weights import convert_state_dict  # noqa: E402
+from sgv3d_tpu.nn.msct_head import MSCThead  # noqa: E402
 from sgv3d_tpu.nn.resnet import ResNet  # noqa: E402
 from sgv3d_tpu.nn.second_fpn import SECONDFPN  # noqa: E402
 
@@ -155,3 +156,55 @@ def test_secondfpn_parity_through_converter(rng):
     out = fm.apply(converted, [jnp.asarray(f) for f in feats], False)
     np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2), ref,
                                rtol=1e-3, atol=1e-3)
+
+
+def test_mscthead_parity_through_converter(rng):
+    """Module-level MSCThead numeric parity (cheap insurance on top of the
+    e2e BSM proof): a randomized torch MSCThead (tests/torch_oracle.py
+    transcription of bsm_lss_fpn.py:214-320) converted through the mapper
+    must match the flax module's four outputs."""
+    sys.path.insert(0, os.path.dirname(__file__))
+    from torch_oracle import TorchMSCThead, randomize_params
+
+    m0, m1, d, s, ctx = 16, 8, 6, 4, 10
+    tm = TorchMSCThead([12, 12], [m0, m1], d, s, ctx).eval()
+    randomize_params(tm, seed=5, scale=0.5)
+
+    f16 = rng.normal(size=(2, 8, 12, 12)).astype(np.float32)
+    f8 = rng.normal(size=(2, 16, 24, 12)).astype(np.float32)
+    mlp = rng.normal(size=(2, 27)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm([torch.tensor(f16.transpose(0, 3, 1, 2)),
+                  torch.tensor(f8.transpose(0, 3, 1, 2))], torch.tensor(mlp))
+
+    fm = MSCThead(mid_channels=(m0, m1), depth_channels=d,
+                  semantic_channels=s, context_channels=ctx)
+    variables = fm.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        [jnp.asarray(f16), jnp.asarray(f8)], jnp.asarray(mlp), False)
+    sd = {"model.backbone.height_net." + k: v.numpy()
+          for k, v in tm.state_dict().items()
+          if "num_batches_tracked" not in k}
+    wrapped = {
+        "params": {"backbone": {"height_net": variables["params"]}},
+        "batch_stats": {"backbone": {"height_net": variables["batch_stats"]}},
+    }
+    new_vars, used, missing = convert_state_dict(
+        sd, wrapped, strict=False, is_bsm=True)
+    # unmapped flax paths must be zero-init biases torch lacks; unused torch
+    # keys must be the dead depth_head0 decoder
+    for path in missing:
+        assert path[-1] == "bias", path
+    unused = {k for k in sd if k not in used}
+    assert all(".depth_head0." in k for k in unused), unused
+    converted = {
+        "params": new_vars["params"]["backbone"]["height_net"],
+        "batch_stats": new_vars["batch_stats"]["backbone"]["height_net"],
+    }
+    outs = fm.apply(converted, [jnp.asarray(f16), jnp.asarray(f8)],
+                    jnp.asarray(mlp), False)
+    names = ("depth1", "semantic1", "context1", "semantic0")
+    for name, o, r in zip(names, outs, ref):
+        np.testing.assert_allclose(
+            np.asarray(o).transpose(0, 3, 1, 2), np.asarray(r),
+            rtol=2e-3, atol=2e-3, err_msg=name)

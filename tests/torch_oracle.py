@@ -342,6 +342,179 @@ class TorchBEVHeight(nn.Module):
 
 
 # ---------------------------------------------------------------------------
+# BSM / SGV3D modules (torch transcription of bsm_lss_fpn.py:151-614)
+# ---------------------------------------------------------------------------
+
+class TorchSABlock(nn.Module):
+    """Spatial attention block (bsm_lss_fpn.py:151-160): conv(x) gated by
+    sigmoid(attention(y)); both convs 3x3 bias-free."""
+
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.attention = nn.Sequential(
+            nn.Conv2d(cin, cout, 3, padding=1, bias=False), nn.Sigmoid())
+        self.conv = nn.Conv2d(cin, cout, 3, padding=1, bias=False)
+
+    def forward(self, x, y):
+        return torch.mul(self.conv(x), self.attention(y))
+
+
+class TorchTaskHead(nn.Module):
+    """TaskHead (bsm_lss_fpn.py:178-201). Forward semantics reproduced
+    exactly, including the quirk that `with_head=False` + `return_feat=True`
+    returns the input UNCHANGED (the decoder is dead weight)."""
+
+    def __init__(self, mid_channels, out_channels, with_head=True):
+        super().__init__()
+        self.with_head = with_head
+        self.decoder = nn.Sequential(
+            TorchBasicBlock(mid_channels, mid_channels),
+            TorchBasicBlock(mid_channels, mid_channels),
+            nn.Conv2d(mid_channels, mid_channels, 3, 1, 1),
+            nn.BatchNorm2d(mid_channels),
+            nn.ReLU(inplace=True))
+        if with_head:
+            self.head = nn.Conv2d(mid_channels, out_channels, 1)
+
+    def forward(self, feat, return_feat=True):
+        if return_feat:
+            if self.with_head:
+                feat = self.decoder(feat)
+                return self.head(feat), feat
+            return feat
+        return self.head(self.decoder(feat))
+
+
+class TorchTaskFPN(nn.Module):
+    """TaskFPN (bsm_lss_fpn.py:203-212): x2 bilinear upsample + 3x3 reduce
+    (bias=True), residual spatial attention from the fine scale."""
+
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.reduce_conv = nn.Conv2d(cin, cout, 3, 1, 1)
+        self.self_attention = TorchSABlock(cout, cout)
+
+    def forward(self, feat0, feat1):
+        feat0 = self.reduce_conv(F.interpolate(
+            feat0, scale_factor=2, mode="bilinear", align_corners=False))
+        return feat0 + self.self_attention(feat1, feat0)
+
+
+class TorchMSCThead(nn.Module):
+    """MSCThead (bsm_lss_fpn.py:214-320): two-scale multi-task image head.
+    Attribute names match the reference state_dict keys exactly."""
+
+    def __init__(self, in_channels, mid_channels, depth_channels,
+                 semantic_channels, context_channels):
+        super().__init__()
+        m0, m1 = mid_channels
+
+        def cbr(cin, cout):
+            return nn.Sequential(nn.Conv2d(cin, cout, 3, 1, 1),
+                                 nn.BatchNorm2d(cout), nn.ReLU(inplace=True))
+
+        self.reduce_conv0 = cbr(in_channels[0], m0)
+        self.reduce_conv1 = cbr(in_channels[1], m1)
+        self.bn = nn.BatchNorm1d(27)
+        self.scale0_mlp = TorchMlp(27, m0, m0)
+        self.scale1_mlp = TorchMlp(27, m1, m1)
+        self.scale0_se = TorchSELayer(m0)
+        self.scale1_se = TorchSELayer(m1)
+        self.aspp = TorchASPP(m0)
+        # stage one; depth_head0's decoder is dead weight (never run)
+        self.depth_head0 = TorchTaskHead(m0, depth_channels, with_head=False)
+        self.semantic_head0 = TorchTaskHead(m0, semantic_channels)
+        self.context_conv0 = cbr(m0, m0)
+        # combine information
+        self.depth_fpn = TorchTaskFPN(m0, m1)
+        self.semantic_fpn = TorchTaskFPN(m0, m1)
+        self.context_fpn = TorchTaskFPN(m0, m1)
+        # stage two
+        self.depth_head1 = TorchTaskHead(m1, depth_channels)
+        self.semantic_head1 = TorchTaskHead(m1, semantic_channels)
+        self.context_conv1 = nn.Sequential(
+            nn.Conv2d(m1, m1, 3, 1, 1), nn.BatchNorm2d(m1),
+            nn.ReLU(inplace=True),
+            nn.Conv2d(m1, context_channels, 1))
+
+    def forward(self, feats, mlp_input):
+        """feats: [scale0 (BN, C, H16, W16), scale1 (BN, C, H8, W8)];
+        mlp_input: (BN, 27) pre-BN camera vector (build_mlp_input)."""
+        mlp_input = self.bn(mlp_input)
+        scale0_feat = self.reduce_conv0(feats[0])
+        scale1_feat = self.reduce_conv1(feats[1])
+        scale0_se = self.scale0_mlp(mlp_input)[..., None, None]
+        scale1_se = self.scale1_mlp(mlp_input)[..., None, None]
+        scale0_feat = self.scale0_se(scale0_feat, scale0_se)
+        scale1_feat = self.scale1_se(scale1_feat, scale1_se)
+        scale0_feat = self.aspp(scale0_feat)
+        # stage one (depth_head0 returns its input unchanged)
+        depth_feat = self.depth_head0(scale0_feat)
+        semantic0, semantic_feat = self.semantic_head0(scale0_feat)
+        context_feat = self.context_conv0(scale0_feat)
+        # combine information
+        depth_feat = self.depth_fpn(depth_feat, scale1_feat)
+        semantic_feat = self.semantic_fpn(semantic_feat, scale1_feat)
+        context_feat = self.context_fpn(context_feat, scale1_feat)
+        # stage two
+        depth1 = self.depth_head1(depth_feat, return_feat=False)
+        semantic1 = self.semantic_head1(semantic_feat, return_feat=False)
+        context1 = self.context_conv1(context_feat)
+        return depth1, semantic1, context1, semantic0
+
+
+class TorchBSMBEVHeight(nn.Module):
+    """Reference SGV3D (is_bsm) inference graph: two-scale necks, MSCThead,
+    background suppression, stride-8 lift (bsm_lss_fpn.py:485-560);
+    state_dict keys match reference checkpoints modulo the `model.` prefix."""
+
+    def __init__(self, cfg):
+        super().__init__()
+        b = cfg.backbone
+        self.cfg = cfg
+        backbone = nn.Module()
+        backbone.img_backbone = TorchResNet(
+            cin=3, base=64, stages=4, strides=(1, 2, 2, 2), maxpool=True)
+        neck_in = list(b.resnet_out_channels)
+        backbone.img_neck_16 = TorchSECONDFPN(
+            neck_in, (0.25, 0.5, 1, 2), b.img_neck_out_channels)
+        backbone.img_neck_8 = TorchSECONDFPN(
+            neck_in, (0.5, 1, 2, 4), b.img_neck_out_channels)
+        backbone.height_net = TorchMSCThead(
+            [sum(b.img_neck_out_channels)] * 2, list(b.height_net_mid_channels),
+            b.num_height_bins, b.semantic_channels, b.output_channels)
+        self.backbone = backbone
+        self.head = TorchBEVHead(cfg.head)
+
+    def forward(self, imgs, mats):
+        cfg = self.cfg.backbone
+        bsz = imgs.shape[0]
+        d = cfg.num_height_bins
+        feats = self.backbone.img_backbone(imgs)
+        f16 = self.backbone.img_neck_16(feats)
+        f8 = self.backbone.img_neck_8(feats)
+        mlp_input = build_mlp_input(mats)
+        out = self.backbone.height_net([f16, f8], mlp_input)
+        height = out[0].softmax(1)                      # (BN, D, H8, W8)
+        semantic = out[1].softmax(1)                    # (BN, S, H8, W8)
+        tran_feat = torch.cat((out[2], semantic), dim=1)
+        mask = semantic[:, 0, :, :].unsqueeze(1) > 0.45  # background
+        tran_feat = tran_feat * (1 - mask.int())
+
+        cell = torch_cell_index(cfg, mats)  # (B, D*fH*fW) at stride 8
+        lifted = height.unsqueeze(1) * tran_feat.unsqueeze(2)
+        c = tran_feat.shape[1]
+        pts = lifted.permute(0, 2, 3, 4, 1).reshape(bsz, -1, c)
+        grid = cfg.voxel_grid
+        num_y, num_x = int(grid.voxel_num[1]), int(grid.voxel_num[0])
+        bev = torch.zeros(bsz, num_y * num_x + 1, c)
+        bev.scatter_add_(1, cell.unsqueeze(-1).expand_as(pts), pts)
+        bev = bev[:, :num_y * num_x].reshape(bsz, num_y, num_x, c)
+        bev = bev.permute(0, 3, 1, 2).contiguous()
+        return self.head(bev)
+
+
+# ---------------------------------------------------------------------------
 # Geometry (torch transcription of lss_fpn.py:325-401)
 # ---------------------------------------------------------------------------
 
@@ -362,7 +535,9 @@ def build_mlp_input(mats):
 
 def torch_frustum(cfg):
     ogf_h, ogf_w = cfg.final_dim
-    ds = cfg.downsample_factor
+    # BSM lifts at half the nominal stride (bsm_lss_fpn.py:343
+    # `downsample_factor // 2`); effective_downsample covers both cases.
+    ds = cfg.effective_downsample
     f_h, f_w = ogf_h // ds, ogf_w // ds
     d0, d1, nbins = cfg.d_bound
     nbins = int(nbins)

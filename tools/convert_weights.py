@@ -238,8 +238,11 @@ def _mscthead_key(path):
         return _conv_or_dense(path, f"{base}.{name}.{path[1]}")
     if name == "aspp":
         return _aspp_key(path[1:], f"{base}.aspp")
-    if name in ("depth_head0", "semantic_head0", "depth_head1",
-                "semantic_head1"):
+    # `depth_head0` has no flax counterpart: its reference forward returns
+    # the input unchanged (with_head=False + return_feat=True,
+    # bsm_lss_fpn.py:195-201), so its checkpoint weights are dead and the
+    # torch keys are intentionally left unused.
+    if name in ("semantic_head0", "depth_head1", "semantic_head1"):
         return _taskhead_key(path[1:], f"{base}.{name}")
     if name in ("depth_fpn", "semantic_fpn", "context_fpn"):
         return _taskfpn_key(path[1:], f"{base}.{name}")
