@@ -1,0 +1,88 @@
+"""Training benchmark: SGV3D-r50 (BSM) train-step throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} like
+bench.py, but for the TRAINING step — the reference's primary workload is
+8-GPU training (BASELINE.md schedules,
+/root/reference/exps/sgv3d/bsm_bev_height_lss_r50_864_1536_128x128.py:523-534).
+
+Measures the full jitted step (forward + losses + backward + AdamW update)
+with a device-resident batch (host->device transfer through the axon relay is
+pathological and not representative — see CLAUDE.md), fenced by fetching the
+loss to host. `vs_baseline` is the speedup over the round-2 measured step
+time recorded in BENCH_TRAIN_BASELINE.json.
+
+Env knobs: BENCH_TRAIN_BATCH (default 2), BENCH_TRAIN_ITERS (default 5),
+BENCH_TRAIN_EXP (default sgv3d_r50_128).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BATCH = int(os.environ.get("BENCH_TRAIN_BATCH", "2"))
+ITERS = int(os.environ.get("BENCH_TRAIN_ITERS", "5"))
+EXP = os.environ.get("BENCH_TRAIN_EXP", "sgv3d_r50_128")
+
+
+def fence(x):
+    np.asarray(jax.device_get(x))
+
+
+def main():
+    from sgv3d_tpu.configs import get_exp
+    from sgv3d_tpu.data.synthetic import make_batch
+    from sgv3d_tpu.models.bev_height import BEVHeight
+    from sgv3d_tpu.train.loop import create_train_state, make_train_step
+    from sgv3d_tpu.train.optim import make_optimizer
+
+    cfg = get_exp(EXP)
+    on_tpu = jax.devices()[0].platform != "cpu"
+    model = BEVHeight(cfg, dtype=jnp.bfloat16 if on_tpu else None)
+    imgs, mats, gt_boxes, gt_labels, gt_semantic = make_batch(
+        cfg, batch=BATCH, num_objs=8)
+    tx, _ = make_optimizer(cfg, 1, steps_per_epoch=100)
+    state = create_train_state(model, cfg, tx, (imgs[:1], mats))
+    step = make_train_step(model, cfg, tx, mesh=None, donate=False)
+
+    jb = (jnp.asarray(imgs), {k: jnp.asarray(v) for k, v in mats.items()},
+          jnp.asarray(gt_boxes), jnp.asarray(gt_labels),
+          jnp.asarray(gt_semantic))
+    fence(jb[0])  # materialise the batch on device
+
+    # Warmup/compile; the first fetch of a new output path through the axon
+    # relay can take minutes, so fence twice before timing.
+    for _ in range(2):
+        state, metrics = step(state, *jb)
+        fence(metrics["total_loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        state, metrics = step(state, *jb)
+        fence(metrics["total_loss"])
+    dt = time.perf_counter() - t0
+    ms_per_step = dt / ITERS * 1000.0
+    ips = BATCH * ITERS / dt
+
+    baseline = None
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_TRAIN_BASELINE.json")
+    if os.path.exists(cache):
+        with open(cache) as f:
+            baseline = json.load(f).get("ms_per_step")
+    vs = (baseline / ms_per_step) if baseline else None
+    print(json.dumps({
+        "metric": f"{EXP}_train_bs{BATCH}_images_per_sec",
+        "value": round(ips, 3),
+        "unit": "images/sec/chip",
+        "ms_per_step": round(ms_per_step, 1),
+        "vs_baseline": round(vs, 3) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

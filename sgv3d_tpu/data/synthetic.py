@@ -85,3 +85,93 @@ def make_batch(cfg: ExpConfig, batch: int, seed: int = 0, num_objs: int = 12,
     gt_semantic = rng.integers(
         0, cfg.backbone.semantic_channels, size=(batch, 1, h, w)).astype(np.int32)
     return imgs, mats, gt_boxes, gt_labels, gt_semantic
+
+
+def write_fake_kitti_root(root, n_frames: int = 6, src_hw=(216, 384),
+                          seed: int = 0, learnable: bool = False):
+    """Write a tiny on-disk rope3d-kitti-style dataset tree (images, masks,
+    calib, label_eval GT, train/val info pkls) for integration tests and the
+    driver's multi-chip eval dry-run. Returns the root path (str).
+
+    Layout mirrors what `tools/converters` produce from the real datasets
+    (/root/reference/scripts/data_converter/... output conventions).
+    """
+    import os
+    import pickle
+
+    from PIL import Image
+
+    h_img, w_img = src_hw
+    root = str(root)
+    for sub in ("images", "training/mask_image", "training/calib",
+                "training/label_eval"):
+        os.makedirs(os.path.join(root, sub), exist_ok=True)
+    rng = np.random.default_rng(seed)
+    infos = []
+    cam_h = 6.0
+    cam2ego_rot = (np.array([[0, 0, 1], [-1, 0, 0], [0, -1, 0]], float)
+                   @ geom.rodrigues(np.array([0.15, 0, 0])).T)
+    K = np.array([[400.0, 0, w_img / 2], [0, 400.0, h_img / 2], [0, 0, 1]])
+    s2e = np.eye(4)
+    s2e[:3, :3] = cam2ego_rot
+    s2e[:3, 3] = [0, 0, cam_h]
+    velo2cam = np.linalg.inv(s2e)
+    for i in range(n_frames):
+        if learnable:
+            # low-noise background so painted object blobs dominate: gives
+            # the detector a learnable image->position signal (used by the
+            # AP-delta quantification test)
+            img = (rng.random((h_img, w_img, 3)) * 40).astype(np.uint8)
+        else:
+            img = (rng.random((h_img, w_img, 3)) * 255).astype(np.uint8)
+        mask = (rng.integers(0, 4, (h_img, w_img, 3)) * 40).astype(np.uint8)
+        np.save(os.path.join(root, "training/mask_image", f"{i:06d}.npy"),
+                mask)
+        with open(os.path.join(root, "training/calib", f"{i:06d}.txt"),
+                  "w") as f:
+            f.write(f"P2: {K[0,0]} 0 {K[0,2]} 0 0 {K[1,1]} {K[1,2]} 0 "
+                    "0 0 1 0\n")
+            row = velo2cam[:3].reshape(-1)
+            f.write("Tr_velo_to_cam: " + " ".join(f"{v}" for v in row) + "\n")
+        gt_lines = []
+        anns = []
+        for _ in range(3):
+            x, y = rng.uniform(6, 20), rng.uniform(-8, 8)
+            anns.append(dict(
+                category_name="vehicle.car",
+                translation=[x, y, 0.8],
+                size=[1.9, 4.5, 1.6], rotation=[1.0, 0, 0, 0],
+                velocity=[0, 0, 0], num_lidar_pts=5, num_radar_pts=0))
+            cam = velo2cam @ np.array([x, y, 0.0, 1.0])
+            if learnable:
+                uvw = K @ cam[:3]
+                u, v = uvw[0] / uvw[2], uvw[1] / uvw[2]
+                if 0 <= u < w_img and 0 <= v < h_img:
+                    yy, xx = np.mgrid[0:h_img, 0:w_img]
+                    blob = ((xx - u) ** 2 + (yy - v) ** 2) < (
+                        max(4.0, 120.0 / cam[2]) ** 2)
+                    img[blob] = 255
+            gt_lines.append(
+                f"Car 0 0 0.5 100 100 200 200 1.6 1.9 4.5 "
+                f"{cam[0]:.4f} {cam[1]:.4f} {cam[2]:.4f} {np.pi/2:.4f}")
+        Image.fromarray(img).save(os.path.join(root, "images", f"{i:06d}.jpg"))
+        with open(os.path.join(root, "training/label_eval", f"{i:06d}.txt"),
+                  "w") as f:
+            f.write("\n".join(gt_lines) + "\n")
+        infos.append(dict(
+            sample_token=f"{i:06d}", scene_token="s0",
+            cam_infos={"CAM_FRONT": dict(
+                filename=f"images/{i:06d}.jpg",
+                calibrated_sensor=dict(
+                    rotation_matrix=cam2ego_rot.tolist(),
+                    translation=[0.0, 0.0, cam_h],
+                    camera_intrinsic=K.tolist()),
+                ego_pose=dict(rotation=[1.0, 0, 0, 0],
+                              translation=[0.0, 0.0, 0.0]),
+                timestamp=0)},
+            sweeps=[], ann_infos=anns))
+    for name in ("rope3d_12hz_infos_train_dair.pkl",
+                 "rope3d_12hz_infos_val_dair.pkl"):
+        with open(os.path.join(root, name), "wb") as f:
+            pickle.dump(infos, f)
+    return root

@@ -180,10 +180,17 @@ def rope3d_raw_calib(data_root: str, token2id: Mapping[str, int]):
 # ---------------------------------------------------------------------------
 
 def result2kitti(results: Mapping[str, list], results_path: str,
-                 calib_provider: Callable, score_threshold: float = 0.45) -> str:
+                 calib_provider: Callable, score_threshold: float = 0.45,
+                 demo: bool = False, gt_label_dir: str | None = None,
+                 pcd_dir: str | None = None) -> str:
     """Write one KITTI txt per frame from a results dict (the in-memory
     equivalent of results_nusc.json["results"]): token -> list of
     {translation, size(w, l, h), box_yaw, detection_score, detection_name}.
+
+    `demo=True` additionally renders `<results_path>/demo/<id>.jpg` BEV
+    images of predictions vs GT (reference `demo=` flag,
+    /root/reference/evaluators/result2kitti.py:263-267), over the lidar
+    point cloud when `pcd_dir` contains `<id>.bin` files.
 
     Returns the directory containing the label files.
     """
@@ -194,6 +201,7 @@ def result2kitti(results: Mapping[str, list], results_path: str,
         r_velo2cam = velo2cam[:3, :3]
         t_velo2cam = velo2cam[:3, 3:4]
         lines = []
+        demo_boxes = []
         for pred in preds:
             score = pred["detection_score"]
             name = pred["detection_name"]
@@ -214,6 +222,7 @@ def result2kitti(results: Mapping[str, list], results_path: str,
             # Note the [w, l, h] order here is the reference's own quirk.
             corners = lidar_corners([w, l, h], yaw_lidar, [x, y, z])
             box2d = project_box2d(corners, velo2cam, intrinsic34)
+            demo_boxes.append(corners)
             lines.append([
                 CATEGORY_MAP[name], "0", "0", str(round(alpha, 4)),
                 str(round(box2d[0], 4)), str(round(box2d[1], 4)),
@@ -228,4 +237,18 @@ def result2kitti(results: Mapping[str, list], results_path: str,
         with open(os.path.join(out_dir, f"{sample_id:06d}.txt"), "w") as f:
             for line in lines:
                 f.write(" ".join(line) + "\n")
+        if demo:
+            from sgv3d_tpu.evalkit.vis import pcd_vis
+
+            label_path = (os.path.join(gt_label_dir, f"{sample_id:06d}.txt")
+                          if gt_label_dir else None)
+            points = None
+            if pcd_dir:
+                bin_path = os.path.join(pcd_dir, f"{sample_id:06d}.bin")
+                if os.path.exists(bin_path):
+                    points = np.fromfile(
+                        bin_path, dtype=np.float32).reshape(-1, 4)[:, :3]
+            pcd_vis(demo_boxes,
+                    os.path.join(results_path, "demo", f"{sample_id:06d}.jpg"),
+                    label_path, velo2cam, points=points)
     return out_dir

