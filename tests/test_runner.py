@@ -112,7 +112,8 @@ def test_fast_lift_ap_delta_quantified(tmp_path):
     parity-grade exact lift and with the deploy top-k lift, and bound the
     difference between the two result sets."""
     import dataclasses
-    import glob
+
+    import jax
 
     from sgv3d_tpu.data.synthetic import write_fake_kitti_root
 
@@ -127,7 +128,19 @@ def test_fast_lift_ap_delta_quantified(tmp_path):
         is_train_height=False)
     out_train = str(tmp_path / "train")
     state = runner.train(cfg, data_root=root, output_dir=out_train,
-                         max_steps=60, ckpt_every_epochs=100, num_devices=1)
+                         max_steps=40, ckpt_every_epochs=100, num_devices=1)
+
+    # A 60-step toy softmax is still diffuse; production checkpoints have a
+    # sharply peaked DID softmax after 20+ epochs. Scale the height-head
+    # logits to put the model in that trained-sharp regime (temperature
+    # 1/6), which is the regime the deploy top-k knob targets.
+    params = jax.device_get(state.params)
+    hl = params["backbone"]["height_net"]["height_layer"]
+    hl["kernel"] = np.asarray(hl["kernel"]) * 6.0
+    hl["bias"] = np.asarray(hl["bias"]) * 6.0
+    state = state._replace(params=params)
+
+    import json
 
     results = {}
     for mode, fast in (("exact", False), ("fast", True)):
@@ -135,32 +148,25 @@ def test_fast_lift_ap_delta_quantified(tmp_path):
         res = runner.evaluate(cfg, data_root=root, output_dir=out,
                               state=state, num_devices=1, fast_lift=fast)
         assert res is not None and np.isfinite(res[0])
-        label_dir = glob.glob(os.path.join(out, "**", "data"),
-                              recursive=True)
-        assert label_dir, f"no KITTI label dir under {out}"
-        results[mode] = (res[0], sorted(glob.glob(
-            os.path.join(label_dir[0], "*.txt"))))
+        with open(os.path.join(out, "results_nusc.json")) as f:
+            results[mode] = (res[0], json.load(f)["results"])
 
-    map_exact, files_exact = results["exact"]
-    map_fast, files_fast = results["fast"]
-    # Stated bound: the deploy top-k lift moves toy mAP by < 5 points and
-    # keeps the per-frame KITTI lines close (same frame count; paired lines
-    # within 0.5 m / 0.5 rad for the shared prefix of each file).
-    assert abs(map_exact - map_fast) < 5.0, (map_exact, map_fast)
-    assert len(files_exact) == len(files_fast)
-    total = paired = close = 0
-    for fe, ff in zip(files_exact, files_fast):
-        le = [l.split() for l in open(fe).read().splitlines()]
-        lf = [l.split() for l in open(ff).read().splitlines()]
-        total += max(len(le), len(lf))
-        for a, b in zip(le, lf):
-            paired += 1
-            if a[0] != b[0]:
-                continue
-            va = np.array([float(v) for v in a[8:15]])
-            vb = np.array([float(v) for v in b[8:15]])
-            if np.all(np.abs(va - vb) < 0.5):
+    map_exact, res_exact = results["exact"]
+    map_fast, res_fast = results["fast"]
+    # Stated bound for the trained-sharp regime: the deploy top-k lift moves
+    # mAP by < 1 point and >= 80% of per-frame top-5 detections agree in
+    # score (< 0.02) and position (< 0.5 m) through the full pipeline.
+    assert abs(map_exact - map_fast) < 1.0, (map_exact, map_fast)
+    assert set(res_exact) == set(res_fast)
+    total = close = 0
+    for tok in res_exact:
+        a = sorted(res_exact[tok], key=lambda d: -d["detection_score"])[:5]
+        b = sorted(res_fast[tok], key=lambda d: -d["detection_score"])[:5]
+        for da, db in zip(a, b):
+            total += 1
+            if (abs(da["detection_score"] - db["detection_score"]) < 0.02
+                    and np.all(np.abs(np.asarray(da["translation"])
+                                      - db["translation"]) < 0.5)):
                 close += 1
-    assert total > 0, "no detections written - test not meaningful"
-    assert paired / total > 0.7, (paired, total)
-    assert close / max(1, paired) > 0.7, (close, paired)
+    assert total >= 20, total
+    assert close / total >= 0.8, (close, total)
