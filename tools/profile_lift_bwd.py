@@ -40,7 +40,13 @@ ITERS = 5
 
 
 def fence(x):
-    np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[:1]
+    # every timed fn returns a scalar (on-device reduction): whole-array
+    # fetches through the axon relay pay a minutes-long per-shape path setup
+    float(np.asarray(jax.device_get(jax.tree_util.tree_leaves(x)[0])))
+
+
+def ssum(x):
+    return sum(jnp.sum(l.astype(jnp.float32)) for l in jax.tree_util.tree_leaves(x))
 
 
 def timeit(name, fn, *args):
@@ -70,7 +76,7 @@ def main():
 
     # A: current forward (chunked scan scatter)
     def fwd(h, ctx, c_):
-        return lift_splat_pool(h, ctx, c_, N, CELLS)
+        return ssum(lift_splat_pool(h, ctx, c_, N, CELLS))
     jfwd = jax.jit(fwd)
     a = timeit("A  current fwd (XLA scatter)", jfwd, height, context, cell)
 
@@ -78,7 +84,9 @@ def main():
     def fwdbwd(h, ctx, c_, gg):
         out, vjp = jax.vjp(lambda hh, cc: lift_splat_pool(hh, cc, c_, N, CELLS),
                            h, ctx)
-        return vjp(gg)
+        # ssum(out) keeps the forward scatter live — without it XLA DCEs the
+        # whole forward (residuals don't include the output) and A+B < A.
+        return ssum(out) + ssum(vjp(gg))
     jfb = jax.jit(fwdbwd)
     ab = timeit("A+B current fwd+bwd (scatter + gather)", jfb, height,
                 context, cell, g)
@@ -91,27 +99,26 @@ def main():
         return jax.vmap(lambda kk: jax.lax.sort_key_val(
             kk, jnp.arange(P, dtype=jnp.int32)))(k)
     jsort = jax.jit(sort_keys)
-    c = timeit("C  sort_key_val P keys", jsort, keys)
+    c = timeit("C  sort_key_val P keys",
+               jax.jit(lambda k: ssum(sort_keys(k)[0])), keys)
 
-    # D: gather ctx rows by (sorted) pixel order
-    _, order = jax.device_get(jsort(keys))
-    order = jnp.asarray(order)
+    # D: gather ctx rows by (sorted) pixel order (order stays on device)
+    order = jax.jit(lambda k: sort_keys(k)[1])(keys)
 
     def gather_ctx(ctx, order_):
         pix = order_ % HW
         return jax.vmap(lambda cc, pp: jnp.take(cc, pp, axis=0))(ctx, pix)
-    jg = jax.jit(gather_ctx)
+    jg = jax.jit(lambda ctx, o: ssum(gather_ctx(ctx, o)))
     d = timeit("D  row-gather ctx by sorted pixel", jg, context, order)
 
     # E: scatter rows by pixel (sorted-backward d_ctx accumulation)
-    vals = jax.device_get(jg(context, order))
-    vals = jnp.asarray(vals)
+    vals = jax.jit(gather_ctx)(context, order)
 
     def scatter_pix(v, order_):
         pix = order_ % HW
         out = jnp.zeros((N, HW, C), jnp.float32)
         return jax.vmap(lambda o, pp, vv: o.at[pp].add(vv))(out, pix, v)
-    jsc = jax.jit(scatter_pix)
+    jsc = jax.jit(lambda v, o: ssum(scatter_pix(v, o)))
     e = timeit("E  row-scatter P rows by pixel (d_ctx)", jsc, vals, order)
 
     # F: unsort P scalars (d_height back to (D, HW) layout)
@@ -120,7 +127,7 @@ def main():
     def unsort(v, order_):
         out = jnp.zeros((N, P), jnp.float32)
         return jax.vmap(lambda o, oo, vv: o.at[oo].set(vv))(out, order_, v)
-    jun = jax.jit(unsort)
+    jun = jax.jit(lambda v, o: ssum(unsort(v, o)))
     f = timeit("F  scalar-scatter unsort P values (d_h)", jun, dh_sorted, order)
 
     print()
