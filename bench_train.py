@@ -60,10 +60,15 @@ def main():
         state, metrics = step(state, *jb)
         fence(metrics["total_loss"])
 
+    # Steady-state measure: the state chain (state_i feeds step i+1) forces
+    # sequential execution on device, so dispatch every step and fence ONCE
+    # on the final loss — a real training loop doesn't fetch metrics every
+    # step, and fencing per step would bill ITERS relay round-trips as if
+    # they were compute.
     t0 = time.perf_counter()
     for _ in range(ITERS):
         state, metrics = step(state, *jb)
-        fence(metrics["total_loss"])
+    fence(metrics["total_loss"])
     dt = time.perf_counter() - t0
     ms_per_step = dt / ITERS * 1000.0
     ips = BATCH * ITERS / dt

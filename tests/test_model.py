@@ -130,6 +130,25 @@ def test_predictor_api_nchw():
     np.testing.assert_allclose(results2[0][0], boxes, atol=1e-5)
 
 
+def test_predictor_stream_matches_sequential():
+    """Pipelined stream() yields identical results to per-batch __call__."""
+    from sgv3d_tpu.api import BEVHeightPredictor
+    cfg = tiny_exp(False)
+    imgs, mats, *_ = make_batch(cfg, batch=2, num_objs=2)
+    model, variables = _init_model(cfg, imgs, mats, False)
+    predictor = BEVHeightPredictor(cfg, variables, use_bf16=False)
+    batches = [(imgs, mats), (imgs[::-1], mats), (imgs, mats)]
+    streamed = list(predictor.stream(iter(batches)))
+    assert len(streamed) == 3
+    for (bi, bm), out in zip(batches, streamed):
+        ref = predictor(bi, bm)
+        assert len(out) == len(ref)
+        for (b1, s1, l1), (b2, s2, l2) in zip(out, ref):
+            np.testing.assert_allclose(b1, b2, atol=1e-5)
+            np.testing.assert_allclose(s1, s2, atol=1e-6)
+            np.testing.assert_array_equal(l1, l2)
+
+
 def test_predictor_static_rig_matches():
     """static_rig geometry caching is exact: same boxes, and the cached cells
     are recomputed only when the calibration changes."""
