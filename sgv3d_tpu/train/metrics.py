@@ -26,14 +26,29 @@ class MetricsLogger:
         self.print_every = print_every
         self._t0 = time.time()
         self._tb = None
+        self._pending = None
         if tensorboard_dir is not None:
             from sgv3d_tpu.train.tb_writer import ScalarWriter
             self._tb = ScalarWriter(tensorboard_dir)
 
     def log(self, step: int, metrics: Mapping[str, object], **extra) -> None:
-        record = {"step": int(step), "time": round(time.time() - self._t0, 2)}
-        for k, v in {**metrics, **extra}.items():
-            v = jax.device_get(v)
+        """Record step metrics. The device fetch (and the JSONL write) for
+        step i happens on the log() call for step i+1, so the host transfer
+        overlaps the next step's compute instead of fencing the device every
+        step — synchronously fetching a handful of loss scalars costs a full
+        relay/PCIe round-trip per step otherwise. close() flushes the last
+        pending step."""
+        stamp = round(time.time() - self._t0, 2)
+        pending = self._pending
+        self._pending = (step, dict(metrics), extra, stamp)
+        if pending is not None:
+            self._write(*pending)
+
+    def _write(self, step: int, metrics: Mapping[str, object], extra,
+               stamp: float) -> None:
+        record = {"step": int(step), "time": stamp}
+        fetched = jax.device_get({**metrics, **extra})
+        for k, v in fetched.items():
             record[k] = float(v) if np.ndim(v) == 0 else np.asarray(v).tolist()
         self._f.write(json.dumps(record) + "\n")
         if self._tb is not None:
@@ -48,6 +63,9 @@ class MetricsLogger:
             print(f"[step {step}] {msg}", flush=True)
 
     def close(self):
+        if self._pending is not None:
+            self._write(*self._pending)
+            self._pending = None
         self._f.close()
         if self._tb is not None:
             self._tb.close()

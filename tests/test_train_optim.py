@@ -99,3 +99,27 @@ def test_tb_writer_events_parse(tmp_path):
     assert abs(vals["lr"] - 1e-4) < 1e-9
     ev2 = event_pb2.Event.FromString(events[2])
     assert ev2.step == 2 and ev2.summary.value[0].simple_value == 0.25
+
+
+def test_metrics_logger_deferred_flush(tmp_path):
+    """The logger defers each step's device fetch/write by one log() call
+    (so it overlaps the next step's compute) but close() flushes the tail:
+    every step must land in the JSONL, in order, with its own values."""
+    import json
+
+    import jax.numpy as jnp
+
+    from sgv3d_tpu.train.metrics import MetricsLogger
+
+    path = str(tmp_path / "metrics.jsonl")
+    logger = MetricsLogger(path, print_every=0)
+    for s in range(1, 4):
+        logger.log(s, {"total_loss": jnp.asarray(float(s))}, lr=s * 0.1)
+        # step s-1 (not s) is on disk after log(s)
+        lines = open(path).read().splitlines()
+        assert len(lines) == s - 1
+    logger.close()
+    records = [json.loads(l) for l in open(path)]
+    assert [r["step"] for r in records] == [1, 2, 3]
+    assert [r["total_loss"] for r in records] == [1.0, 2.0, 3.0]
+    assert abs(records[2]["lr"] - 0.3) < 1e-9
