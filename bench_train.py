@@ -12,7 +12,8 @@ loss to host. `vs_baseline` is the speedup over the round-2 measured step
 time recorded in BENCH_TRAIN_BASELINE.json.
 
 Env knobs: BENCH_TRAIN_BATCH (default 2), BENCH_TRAIN_ITERS (default 5),
-BENCH_TRAIN_EXP (default sgv3d_r50_128).
+BENCH_TRAIN_EXP (default sgv3d_r50_128), BENCH_TRAIN_TOPK (set to an int to
+measure the opt-in `train_lift_top_k` top-k training lift; default exact).
 """
 from __future__ import annotations
 
@@ -41,6 +42,11 @@ def main():
     from sgv3d_tpu.train.optim import make_optimizer
 
     cfg = get_exp(EXP)
+    topk = os.environ.get("BENCH_TRAIN_TOPK")
+    if topk:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, backbone=dataclasses.replace(
+            cfg.backbone, train_lift_top_k=int(topk)))
     on_tpu = jax.devices()[0].platform != "cpu"
     model = BEVHeight(cfg, dtype=jnp.bfloat16 if on_tpu else None)
     imgs, mats, gt_boxes, gt_labels, gt_semantic = make_batch(

@@ -27,6 +27,12 @@ class BackboneConfig:
     # exact, all bins). The DID softmax concentrates its mass in a few bins,
     # so k ~ 16 cuts the BEV scatter ~6x with negligible output change.
     lift_top_k: int | None = None
+    # Opt-in TRAINING speed knob (None = exact, reference-parity gradients):
+    # pool only the top-k height bins per pixel during training too. The
+    # differentiable lax.top_k path is used, so gradients flow to the
+    # selected bins (unselected bins get zero height gradient instead of the
+    # exact tiny one) — a documented approximation, never on by default.
+    train_lift_top_k: int | None = None
     # Rematerialize the image backbone + neck during training (activations
     # recomputed in the backward pass instead of stored). Required for the
     # heavy variants (r101 / 180 bins / 1024+ head grid) to fit one chip's

@@ -28,6 +28,12 @@ from sgv3d_tpu.nn.second_fpn import SECONDFPN
 from sgv3d_tpu.ops.voxel_pooling import flatten_voxel_index, lift_splat_pool
 
 
+def _lift_k(cfg: BackboneConfig, train: bool) -> int | None:
+    """The active top-k lift knob: `lift_top_k` at eval (deploy default),
+    `train_lift_top_k` during training (opt-in approximation, see config)."""
+    return cfg.train_lift_top_k if train else cfg.lift_top_k
+
+
 def compute_lift_cells(cfg: BackboneConfig, mats, sweep: int = 0,
                        train: bool = False) -> jnp.ndarray:
     """BEV cell index for every frustum point: geometry -> voxelize -> flatten.
@@ -47,7 +53,7 @@ def compute_lift_cells(cfg: BackboneConfig, mats, sweep: int = 0,
     grid = cfg.voxel_grid
     frustum = jnp.asarray(
         geom.make_frustum(cfg.final_dim, cfg.effective_downsample, cfg.d_bound))
-    use_topk = cfg.lift_top_k is not None and not train
+    use_topk = _lift_k(cfg, train) is not None
     if use_topk:
         frustum = frustum.transpose(1, 2, 0, 3)        # (fH, fW, D, 4)
     points = geom.get_geometry(
@@ -73,9 +79,12 @@ def _lift_and_splat(cfg: BackboneConfig, height_prob, tran_feat, mats, sweep,
 
     In eval mode, `cfg.lift_top_k` pools only the top-k height bins per pixel
     (measured on TPU: the exact 90-bin scatter is ~59 ms/batch-8 net, top-16
-    ~20 ms — see tools/profile_topk.py). Training always pools all bins so
-    gradients reach every height bin, like the reference. `cells` (optional)
-    is a precomputed `compute_lift_cells` result (static-rig fast path)."""
+    ~20 ms — see tools/profile_topk.py). Training pools all bins by default
+    so gradients reach every height bin, like the reference;
+    `cfg.train_lift_top_k` opts into a top-k training lift (differentiable
+    via lax.top_k — unselected bins get zero height gradient). `cells`
+    (optional) is a precomputed `compute_lift_cells` result (static-rig
+    fast path)."""
     b = mats["sensor2ego_mats"].shape[0]
     n = mats["sensor2ego_mats"].shape[2]
     f_h, f_w = cfg.feat_hw
@@ -83,15 +92,18 @@ def _lift_and_splat(cfg: BackboneConfig, height_prob, tran_feat, mats, sweep,
     grid = cfg.voxel_grid
     num_y, num_x = int(grid.voxel_num[1]), int(grid.voxel_num[0])
 
-    use_topk = cfg.lift_top_k is not None and not train
+    k = _lift_k(cfg, train)
     cell = cells if cells is not None else compute_lift_cells(
         cfg, mats, sweep, train)
 
     ctx = tran_feat.astype(jnp.float32).reshape(b * n, f_h * f_w, -1)
-    if use_topk:
+    if k is not None:
         from sgv3d_tpu.ops.voxel_pooling import topk_lift_inputs_hwd
         hp_hwd = height_prob.astype(jnp.float32).reshape(b * n, f_h * f_w, d)
-        hp, cell = topk_lift_inputs_hwd(hp_hwd, cell, cfg.lift_top_k)
+        # Training needs the differentiable lax.top_k (the Pallas kernel is
+        # forward-only); eval keeps the "auto" kernel choice.
+        hp, cell = topk_lift_inputs_hwd(hp_hwd, cell, k,
+                                        method="exact" if train else "auto")
     else:
         hp = height_prob.astype(jnp.float32).transpose(0, 3, 1, 2)
         hp = hp.reshape(b * n, d, f_h * f_w)

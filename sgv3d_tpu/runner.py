@@ -211,9 +211,9 @@ def _evaluate_state(cfg: ExpConfig, state: TrainState, eval_step, loader,
                     max_batches: int | None, n_dev: int):
     global_batch = cfg.batch_size_per_device * n_dev
     results, img_metas = [], []
-    for bi, batch in enumerate(loader):
-        if max_batches is not None and bi >= max_batches:
-            break
+
+    def dispatch(batch):
+        """Enqueue one eval batch on device; returns (async dets, n, metas)."""
         imgs, mats, _, _, _, metas = batch
         n_real = imgs.shape[0]
         if n_real < global_batch:
@@ -225,7 +225,9 @@ def _evaluate_state(cfg: ExpConfig, state: TrainState, eval_step, loader,
                     for k, v in mats.items()}
         args = shard_batch(mesh, (jnp.asarray(imgs),
                                   {k: jnp.asarray(v) for k, v in mats.items()}))
-        dets = eval_step(state.params, state.batch_stats, *args)
+        return eval_step(state.params, state.batch_stats, *args), n_real, metas
+
+    def collect(dets, n_real, metas):
         boxes = np.asarray(dets.boxes)
         scores = np.asarray(dets.scores)
         labels = np.asarray(dets.labels)
@@ -234,6 +236,20 @@ def _evaluate_state(cfg: ExpConfig, state: TrainState, eval_step, loader,
             m = valid[i]
             results.append([boxes[i][m], scores[i][m], labels[i][m]])
             img_metas.append(metas[i])
+
+    # Software-pipelined: dispatch batch i, then fetch batch i-1's (small)
+    # detection arrays while i computes — the host readback otherwise costs
+    # a device round-trip per batch (same pattern as bench.py / api.stream).
+    pending = None
+    for bi, batch in enumerate(loader):
+        if max_batches is not None and bi >= max_batches:
+            break
+        cur = dispatch(batch)
+        if pending is not None:
+            collect(*pending)
+        pending = cur
+    if pending is not None:
+        collect(*pending)
 
     dist.synchronize()
     if dist.get_world_size() > 1:

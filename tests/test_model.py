@@ -78,6 +78,55 @@ def test_train_loss_and_grads(is_bsm):
     assert sum(map(float, hd)) > 0
 
 
+def test_train_lift_top_k_knob():
+    """Opt-in top-k TRAINING lift: k=D is numerically the exact lift (same
+    loss and grads up to float summation order), and k<D still trains — loss
+    finite, gradients flow to the backbone and to the height net (the
+    selected bins' heights are differentiable through lax.top_k)."""
+    import dataclasses
+    cfg = tiny_exp(False)
+    imgs, mats, gt_boxes, gt_labels, _ = make_batch(cfg, batch=1, num_objs=3)
+    model, variables = _init_model(cfg, imgs, mats, True)
+    params = variables["params"]
+    other = {k: v for k, v in variables.items() if k != "params"}
+    jmats = {k: jnp.asarray(v) for k, v in mats.items()}
+
+    def loss_and_grads(c):
+        m = BEVHeight(c)
+
+        def loss_fn(p):
+            (preds, aux), _ = m.apply(
+                {"params": p, **other}, jnp.asarray(imgs), jmats, True,
+                rngs={"dropout": jax.random.PRNGKey(2)},
+                mutable=["batch_stats"])
+            loss, _ = train_loss(c, preds, aux, jnp.asarray(gt_boxes),
+                                 jnp.asarray(gt_labels), None)
+            return loss
+        return jax.value_and_grad(loss_fn)(params)
+
+    def with_k(k):
+        return dataclasses.replace(cfg, backbone=dataclasses.replace(
+            cfg.backbone, train_lift_top_k=k))
+
+    loss_exact, g_exact = loss_and_grads(cfg)
+    d = cfg.backbone.num_height_bins
+    loss_full, g_full = loss_and_grads(with_k(d))  # k = D: exact, new layout
+    np.testing.assert_allclose(float(loss_full), float(loss_exact), rtol=1e-5)
+    for pe, pf in zip(jax.tree_util.tree_leaves(g_exact),
+                      jax.tree_util.tree_leaves(g_full)):
+        np.testing.assert_allclose(np.asarray(pf), np.asarray(pe),
+                                   rtol=2e-4, atol=1e-6)
+
+    loss_k, g_k = loss_and_grads(with_k(d // 2))
+    assert np.isfinite(float(loss_k)) and float(loss_k) > 0
+    flat = jax.tree_util.tree_flatten_with_path(g_k)[0]
+    bb = sum(float(jnp.abs(v).sum()) for p, v in flat
+             if "img_backbone" in str(p))
+    hn = sum(float(jnp.abs(v).sum()) for p, v in flat
+             if "height_net" in str(p))
+    assert bb > 0 and hn > 0
+
+
 def test_eval_path_decodes():
     cfg = tiny_exp(False)
     imgs, mats, *_ = make_batch(cfg, batch=1, num_objs=3)

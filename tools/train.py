@@ -40,6 +40,12 @@ def main():
                              "parity-grade)")
     parser.add_argument("--exact_lift", action="store_true",
                         help=argparse.SUPPRESS)  # legacy: now the default
+    parser.add_argument("--train_lift_top_k", type=int, default=None,
+                        help="opt-in TRAINING speed knob: pool only the "
+                             "top-k height bins per pixel during training "
+                             "(differentiable; unselected bins get zero "
+                             "height gradient). Default: exact all-bin "
+                             "lift, reference-parity gradients")
     args = parser.parse_args()
 
     from sgv3d_tpu.configs import get_exp
@@ -58,6 +64,9 @@ def main():
                         ckpt_step=args.ckpt_step,
                         fast_lift=args.fast_lift, bf16=args.bf16)
     else:
+        if args.train_lift_top_k is not None:
+            cfg = dataclasses.replace(cfg, backbone=dataclasses.replace(
+                cfg.backbone, train_lift_top_k=args.train_lift_top_k))
         runner.train(cfg, data_root=args.data_root,
                      output_dir=args.output_dir,
                      max_steps=args.max_steps,
