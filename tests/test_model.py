@@ -127,6 +127,37 @@ def test_train_lift_top_k_knob():
     assert bb > 0 and hn > 0
 
 
+def test_train_lift_top_k_bsm_trains():
+    """The opt-in top-k training lift also compiles and trains on the BSM
+    (SGV3D) path — finite loss, gradients reach the MSCThead height net."""
+    import dataclasses
+    cfg = tiny_exp(True)
+    cfg = dataclasses.replace(cfg, backbone=dataclasses.replace(
+        cfg.backbone, train_lift_top_k=cfg.backbone.num_height_bins // 2))
+    imgs, mats, gt_boxes, gt_labels, gt_semantic = make_batch(
+        cfg, batch=1, num_objs=3)
+    model, variables = _init_model(cfg, imgs, mats, True)
+    params = variables["params"]
+    other = {k: v for k, v in variables.items() if k != "params"}
+    jmats = {k: jnp.asarray(v) for k, v in mats.items()}
+
+    def loss_fn(p):
+        (preds, aux), _ = model.apply(
+            {"params": p, **other}, jnp.asarray(imgs), jmats, True,
+            rngs={"dropout": jax.random.PRNGKey(2)},
+            mutable=["batch_stats"])
+        loss, _ = train_loss(cfg, preds, aux, jnp.asarray(gt_boxes),
+                             jnp.asarray(gt_labels), jnp.asarray(gt_semantic))
+        return loss
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    hn = sum(float(jnp.abs(v).sum()) for p, v in flat
+             if "height_net" in str(p))
+    assert hn > 0
+
+
 def test_eval_path_decodes():
     cfg = tiny_exp(False)
     imgs, mats, *_ = make_batch(cfg, batch=1, num_objs=3)
