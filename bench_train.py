@@ -52,7 +52,9 @@ def main():
     imgs, mats, gt_boxes, gt_labels, gt_semantic = make_batch(
         cfg, batch=BATCH, num_objs=8)
     tx, _ = make_optimizer(cfg, 1, steps_per_epoch=100)
-    state = create_train_state(model, cfg, tx, (imgs[:1], mats))
+    state = create_train_state(
+        model, cfg, tx,
+        (imgs[:1], {k: v[:1] for k, v in mats.items()}))
     step = make_train_step(model, cfg, tx, mesh=None, donate=False)
 
     jb = (jnp.asarray(imgs), {k: jnp.asarray(v) for k, v in mats.items()},

@@ -152,7 +152,10 @@ class PointCloudFilter:
 
     def scale_to_255(self, value, minimum, maximum, dtype=np.uint8):
         if minimum == maximum:
-            return self.get_meshgrid()
+            # degenerate range: full intensity per point (shape-preserving;
+            # the reference returns a meshgrid image here, which no caller
+            # can actually consume — see pcl_2_bev's own special case)
+            return np.full(np.shape(value), 255, dtype=dtype)
         return (((value - minimum) / float(maximum - minimum)) * 255).astype(
             dtype)
 

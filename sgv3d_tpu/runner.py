@@ -101,26 +101,30 @@ def train(cfg: ExpConfig, data_root: str | None = None,
     step = int(jax.device_get(state.step))
     total_steps = max_steps or cfg.max_epochs * steps_per_epoch
     epoch = step // steps_per_epoch
-    while step < total_steps:
-        for batch in loader:
-            imgs, mats, gt_boxes, gt_labels, gt_semantic, _ = batch
-            args = (jnp.asarray(imgs),
-                    {k: jnp.asarray(v) for k, v in mats.items()},
-                    jnp.asarray(gt_boxes), jnp.asarray(gt_labels),
-                    jnp.asarray(gt_semantic) if gt_semantic is not None
-                    else None)
-            sharded = shard_batch(mesh, args)
-            state, metrics = train_step(state, *sharded)
-            step += 1
-            logger.log(step, metrics, lr=schedule(step),
-                       epoch=step / steps_per_epoch)
-            if step >= total_steps:
-                break
-        epoch = step // steps_per_epoch
-        if epoch % ckpt_every_epochs == 0 or step >= total_steps:
-            ckpt.save(state)
-    ckpt.save(state, wait=True)
-    logger.close()
+    try:
+        while step < total_steps:
+            for batch in loader:
+                imgs, mats, gt_boxes, gt_labels, gt_semantic, _ = batch
+                args = (jnp.asarray(imgs),
+                        {k: jnp.asarray(v) for k, v in mats.items()},
+                        jnp.asarray(gt_boxes), jnp.asarray(gt_labels),
+                        jnp.asarray(gt_semantic) if gt_semantic is not None
+                        else None)
+                sharded = shard_batch(mesh, args)
+                state, metrics = train_step(state, *sharded)
+                step += 1
+                logger.log(step, metrics, lr=schedule(step),
+                           epoch=step / steps_per_epoch)
+                if step >= total_steps:
+                    break
+            epoch = step // steps_per_epoch
+            if epoch % ckpt_every_epochs == 0 or step >= total_steps:
+                ckpt.save(state)
+        ckpt.save(state, wait=True)
+    finally:
+        # flush the deferred last step even on a crash — that step's metrics
+        # (NaN loss, etc.) are exactly what's needed to debug it
+        logger.close()
     return state
 
 

@@ -119,6 +119,9 @@ class ScalarWriter:
     def add_scalars(self, step: int, scalars: dict[str, float]) -> None:
         self._f.write(_record(_event(time.time(), int(step),
                                      scalars=scalars)))
+        # flush per event (a few hundred bytes/step): a crash must not eat
+        # the buffered tail, and live `tensorboard --logdir` reads mid-run
+        self._f.flush()
 
     def flush(self) -> None:
         self._f.flush()

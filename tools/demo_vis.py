@@ -57,9 +57,10 @@ def main():
         results, args.out, kitti_root_calib(args.data_root),
         score_threshold=args.score_threshold, demo=True,
         gt_label_dir=gt_dir, pcd_dir=args.pcd_dir)
-    n = len(os.listdir(os.path.join(args.out, "demo")))
-    print(f"wrote {n} demo images to {os.path.join(args.out, 'demo')} "
-          f"(labels in {out_dir})")
+    demo_dir = os.path.join(args.out, "demo")
+    os.makedirs(demo_dir, exist_ok=True)  # zero-frame results never mkdir it
+    n = len(os.listdir(demo_dir))
+    print(f"wrote {n} demo images to {demo_dir} (labels in {out_dir})")
 
 
 if __name__ == "__main__":

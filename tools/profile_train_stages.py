@@ -201,7 +201,8 @@ def main():
     from sgv3d_tpu.train.loop import create_train_state, make_train_step
     from sgv3d_tpu.train.optim import make_optimizer
     tx, _ = make_optimizer(cfg, 1, steps_per_epoch=100)
-    state = create_train_state(model, cfg, tx, (imgs[:1], mats))
+    state = create_train_state(
+        model, cfg, tx, (imgs[:1], {k: v[:1] for k, v in mats.items()}))
     step = make_train_step(model, cfg, tx, mesh=None, donate=False)
     jbatch = (jb_imgs, jmats, jgb, jgl, jgs)
     st, metrics = step(state, *jbatch)
