@@ -55,7 +55,9 @@ def main():
     state = create_train_state(
         model, cfg, tx,
         (imgs[:1], {k: v[:1] for k, v in mats.items()}))
-    step = make_train_step(model, cfg, tx, mesh=None, donate=False)
+    # donate=True matches runner.train (the state buffers are reused in
+    # place instead of copied every step)
+    step = make_train_step(model, cfg, tx, mesh=None, donate=True)
 
     jb = (jnp.asarray(imgs), {k: jnp.asarray(v) for k, v in mats.items()},
           jnp.asarray(gt_boxes), jnp.asarray(gt_labels),

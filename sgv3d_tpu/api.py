@@ -22,14 +22,17 @@ from sgv3d_tpu.models.bev_height import BEVHeight
 class BEVHeightPredictor:
     """Jit-compiled end-to-end inference: images + calib -> 3D boxes.
 
-    `static_rig=True` caches the lift geometry (frustum -> ego -> BEV cell
-    indices) per distinct calibration, recomputing only when the mats
-    change — roadside cameras are fixed, so in steady state every frame
+    `static_rig` (default True) caches the lift geometry (frustum -> ego ->
+    BEV cell indices) per distinct calibration, recomputing only when the
+    mats change — roadside cameras are fixed, so in steady state every frame
     skips the geometry stage entirely (`nn.lss_fpn.compute_lift_cells`).
+    Exact: the cache key is the calibration bytes, so results are identical
+    to recomputing (tested); set static_rig=False to force in-graph
+    geometry every call.
     """
 
     def __init__(self, cfg: ExpConfig, variables: Mapping[str, Any],
-                 use_bf16: bool = True, static_rig: bool = False):
+                 use_bf16: bool = True, static_rig: bool = True):
         self.cfg = cfg
         on_tpu = jax.devices()[0].platform not in ("cpu",)
         self.model = BEVHeight(
