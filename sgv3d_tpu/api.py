@@ -57,14 +57,17 @@ class BEVHeightPredictor:
 
         self._cells_fn = _cells_fn
 
-    def _rig_cells(self, mats):
+    def _rig_cells(self, host_mats, jmats):
+        """Cached lift cells, keyed on the HOST-side calibration bytes —
+        keying on the device arrays would cost a device->host fetch per
+        matrix per call (a full round-trip each on a TPU host)."""
         key = tuple(
-            np.asarray(mats[k]).tobytes()
+            np.asarray(host_mats[k]).tobytes()
             for k in ("sensor2ego_mats", "sensor2virtual_mats", "intrin_mats",
                       "ida_mats", "reference_heights")
-            if k in mats)
+            if k in host_mats)
         if key != self._cells_key:
-            self._cells = self._cells_fn(mats)
+            self._cells = self._cells_fn(jmats)
             self._cells_key = key
         return self._cells
 
@@ -75,7 +78,8 @@ class BEVHeightPredictor:
         if imgs.shape[3] == 3 and imgs.shape[-1] != 3:
             imgs = np.transpose(imgs, (0, 1, 2, 4, 5, 3))  # NCHW -> NHWC
         jmats = {k: jnp.asarray(v) for k, v in mats_dict.items()}
-        cells = self._rig_cells(jmats) if self.static_rig else None
+        cells = (self._rig_cells(mats_dict, jmats) if self.static_rig
+                 else None)
         return self._infer(self.variables, jnp.asarray(imgs), jmats, cells)
 
     @staticmethod
