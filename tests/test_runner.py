@@ -170,3 +170,41 @@ def test_fast_lift_ap_delta_quantified(tmp_path):
                 close += 1
     assert total >= 20, total
     assert close / total >= 0.8, (close, total)
+
+
+@pytest.mark.slow
+def test_cli_flag_wiring(tmp_path, monkeypatch):
+    """tools/train.py end-to-end: argv parsing, config replaces (batch,
+    --train_lift_top_k), dispatch into runner.train, metrics on disk. The
+    CLI resolves exps from the production registry, so get_exp is patched
+    to a tiny config."""
+    import sys
+
+    root = _fake_root(tmp_path, n_frames=8)
+    cfg = tiny_exp(is_bsm=False)
+    cfg = dataclasses.replace(
+        cfg,
+        backbone=dataclasses.replace(cfg.backbone, final_dim=(64, 96)),
+        data_root=root, src_hw=(H_IMG, W_IMG))
+    out_dir = str(tmp_path / "outputs_cli")
+
+    import sgv3d_tpu.configs as configs
+    monkeypatch.setattr(configs, "get_exp", lambda name: cfg)
+    seen = {}
+    real_train = runner.train
+
+    def spy(cfg_arg, **kw):
+        seen["cfg"] = cfg_arg
+        return real_train(cfg_arg, **kw)
+
+    monkeypatch.setattr(runner, "train", spy)
+    monkeypatch.setattr(sys, "argv", [
+        "train.py", "tiny_exp", "-b", "1", "--data_root", root,
+        "--output_dir", out_dir, "--max_steps", "1",
+        "--train_lift_top_k", "4"])
+    import tools.train
+    tools.train.main()
+
+    assert seen["cfg"].backbone.train_lift_top_k == 4
+    assert seen["cfg"].batch_size_per_device == 1
+    assert os.path.exists(os.path.join(out_dir, "metrics.jsonl"))
