@@ -24,6 +24,9 @@ BATCH = int(os.environ.get("BENCH_BATCH", "16"))
 # bench measures that steady state by default. BENCH_STATIC_RIG=0 re-derives
 # geometry in-graph every batch instead.
 STATIC_RIG = os.environ.get("BENCH_STATIC_RIG", "1") == "1"
+# BENCH_EXACT_LIFT=1 measures the parity-grade exact all-bin lift (the `-e`
+# evaluation default) instead of the exp's top-k deploy lift.
+EXACT_LIFT = os.environ.get("BENCH_EXACT_LIFT", "0") == "1"
 ITERS = int(os.environ.get("BENCH_ITERS", "10"))
 
 
@@ -34,6 +37,10 @@ def main():
     from sgv3d_tpu.models.bev_height import BEVHeight
 
     cfg = get_exp("bevheight_dair_r101_128")
+    if EXACT_LIFT:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, backbone=dataclasses.replace(
+            cfg.backbone, lift_top_k=None))
     imgs, mats, *_ = make_batch(cfg, batch=BATCH, num_objs=8)
     # bf16 backbone compute on TPU; fp32 on CPU fallback.
     on_tpu = jax.devices()[0].platform != "cpu"
