@@ -38,9 +38,8 @@ def main():
 
     cfg = get_exp("bevheight_dair_r101_128")
     if EXACT_LIFT:
-        import dataclasses
-        cfg = dataclasses.replace(cfg, backbone=dataclasses.replace(
-            cfg.backbone, lift_top_k=None))
+        from sgv3d_tpu.runner import eval_config
+        cfg = eval_config(cfg)
     imgs, mats, *_ = make_batch(cfg, batch=BATCH, num_objs=8)
     # bf16 backbone compute on TPU; fp32 on CPU fallback.
     on_tpu = jax.devices()[0].platform != "cpu"

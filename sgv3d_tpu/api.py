@@ -64,7 +64,7 @@ class BEVHeightPredictor:
         key = tuple(
             np.asarray(host_mats[k]).tobytes()
             for k in ("sensor2ego_mats", "sensor2virtual_mats", "intrin_mats",
-                      "ida_mats", "reference_heights")
+                      "ida_mats", "reference_heights", "bda_mat")
             if k in host_mats)
         if key != self._cells_key:
             self._cells = self._cells_fn(jmats)

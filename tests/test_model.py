@@ -240,7 +240,8 @@ def test_predictor_static_rig_matches():
         cfg, backbone=dataclasses.replace(cfg.backbone, lift_top_k=4))
     imgs, mats, *_ = make_batch(cfg, batch=2, num_objs=2)
     model, variables = _init_model(cfg, imgs, mats, False)
-    plain = BEVHeightPredictor(cfg, variables, use_bf16=False)
+    plain = BEVHeightPredictor(cfg, variables, use_bf16=False,
+                               static_rig=False)
     rig = BEVHeightPredictor(cfg, variables, use_bf16=False, static_rig=True)
     r1 = plain(imgs, mats)
     r2 = rig(imgs, mats)
@@ -253,7 +254,18 @@ def test_predictor_static_rig_matches():
     ida[..., 0, 0] *= 1.1
     mats2["ida_mats"] = ida
     rig(imgs, mats2)
-    assert rig._cells_key != key1  # calib change invalidates
+    key2 = rig._cells_key
+    assert key2 != key1  # calib change invalidates
+    # bda_mat feeds compute_lift_cells too (nn/lss_fpn.py:66) — a BEV-aug
+    # change must also invalidate, with fixed camera calibration.
+    mats3 = dict(mats2)
+    bda = np.array(mats["bda_mat"]).copy()
+    bda[:, 0, 0] *= -1.0  # BEV x-flip
+    mats3["bda_mat"] = bda
+    r_flip = rig(imgs, mats3)
+    assert rig._cells_key != key2
+    plain_flip = plain(imgs, mats3)
+    np.testing.assert_allclose(r_flip[0][0], plain_flip[0][0], atol=1e-5)
 
 
 @pytest.mark.slow
