@@ -27,6 +27,10 @@ STATIC_RIG = os.environ.get("BENCH_STATIC_RIG", "1") == "1"
 # BENCH_EXACT_LIFT=1 measures the parity-grade exact all-bin lift (the `-e`
 # evaluation default) instead of the exp's top-k deploy lift.
 EXACT_LIFT = os.environ.get("BENCH_EXACT_LIFT", "0") == "1"
+# BENCH_BF16_HEAD=1 runs the BEV head's HBM-bound convs in bf16 with fp32
+# outputs (api.BEVHeightPredictor(bf16_head=True)); default keeps the head
+# fp32 (the reference's autocast guard) until the win is measured.
+BF16_HEAD = os.environ.get("BENCH_BF16_HEAD", "0") == "1"
 ITERS = int(os.environ.get("BENCH_ITERS", "10"))
 
 
@@ -43,7 +47,9 @@ def main():
     imgs, mats, *_ = make_batch(cfg, batch=BATCH, num_objs=8)
     # bf16 backbone compute on TPU; fp32 on CPU fallback.
     on_tpu = jax.devices()[0].platform != "cpu"
-    model = BEVHeight(cfg, dtype=jnp.bfloat16 if on_tpu else None)
+    model = BEVHeight(
+        cfg, dtype=jnp.bfloat16 if on_tpu else None,
+        head_dtype=jnp.bfloat16 if (BF16_HEAD and on_tpu) else None)
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         jnp.asarray(imgs[:1]), {k: jnp.asarray(v[:1]) for k, v in mats.items()},

@@ -32,11 +32,16 @@ class BEVHeightPredictor:
     """
 
     def __init__(self, cfg: ExpConfig, variables: Mapping[str, Any],
-                 use_bf16: bool = True, static_rig: bool = True):
+                 use_bf16: bool = True, static_rig: bool = True,
+                 bf16_head: bool = False):
+        """`bf16_head` additionally runs the BEV head's convs in bf16
+        (fp32 outputs) — a serving approximation beyond the reference's
+        autocast guards (which pin the head fp32), so it is opt-in."""
         self.cfg = cfg
         on_tpu = jax.devices()[0].platform not in ("cpu",)
         self.model = BEVHeight(
-            cfg, dtype=jnp.bfloat16 if (use_bf16 and on_tpu) else None)
+            cfg, dtype=jnp.bfloat16 if (use_bf16 and on_tpu) else None,
+            head_dtype=jnp.bfloat16 if (bf16_head and on_tpu) else None)
         self.variables = variables
         self.static_rig = static_rig
         self._cells = None

@@ -43,6 +43,10 @@ def normalize_images(imgs: jnp.ndarray, cfg: ExpConfig) -> jnp.ndarray:
 class BEVHeight(nn.Module):
     cfg: ExpConfig
     dtype: jnp.dtype | None = None  # backbone compute dtype (bf16 on TPU)
+    # BEV-head compute dtype. None = fp32, mirroring the reference's
+    # @autocast(False) head guard; bf16 is an opt-in serving approximation
+    # (api.BEVHeightPredictor(bf16_head=True)).
+    head_dtype: jnp.dtype | None = None
     # Optional spatial sharding of the BEV map over a mesh axis (SP for the
     # big 1408^2 grids): a NamedSharding like P(None, "bev") applied between
     # the lift and the BEV head. XLA then partitions every head conv
@@ -62,7 +66,8 @@ class BEVHeight(nn.Module):
         backbone_cls = BSMLSSFPN if self.cfg.backbone.is_bsm else LSSFPN
         backbone = backbone_cls(self.cfg.backbone, dtype=self.dtype,
                                 name="backbone")
-        head = BEVHeightHead(self.cfg.head, name="head")
+        head = BEVHeightHead(self.cfg.head, dtype=self.head_dtype,
+                             name="head")
         bev, aux = backbone(sweep_imgs, mats, train, cells)
         if self.bev_sharding is not None:
             bev = jax.lax.with_sharding_constraint(bev, self.bev_sharding)

@@ -222,15 +222,16 @@ class SeparateTaskBranch(nn.Module):
     head_conv: int = 64
     final_kernel: int = 3
     init_bias: float | None = None
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         for i in range(self.num_conv - 1):
             x = ConvBNReLU(self.head_conv, self.final_kernel,
-                           name=f"conv{i}")(x, train)
+                           dtype=self.dtype, name=f"conv{i}")(x, train)
         bias_init = (nn.initializers.constant(self.init_bias)
                      if self.init_bias is not None else nn.initializers.zeros_init())
         return nn.Conv(
             self.out_channels, (self.final_kernel, self.final_kernel),
             padding=[(self.final_kernel // 2,) * 2] * 2,
-            bias_init=bias_init, name="final")(x)
+            bias_init=bias_init, dtype=self.dtype, name="final")(x)

@@ -268,6 +268,38 @@ def test_predictor_static_rig_matches():
     np.testing.assert_allclose(r_flip[0][0], plain_flip[0][0], atol=1e-5)
 
 
+def test_bf16_head_close_and_param_compatible():
+    """Opt-in bf16 BEV-head compute: same param tree as the fp32 head (dtype
+    only changes compute, params stay fp32 — converted checkpoints load
+    unchanged), fp32 outputs, and decoded boxes close to the fp32 head."""
+    import dataclasses
+
+    from flax.traverse_util import flatten_dict
+
+    cfg = tiny_exp(False)
+    cfg = dataclasses.replace(
+        cfg, backbone=dataclasses.replace(cfg.backbone, lift_top_k=4))
+    imgs, mats, *_ = make_batch(cfg, batch=1, num_objs=3)
+    model, variables = _init_model(cfg, imgs, mats, False)
+    jmats = {k: jnp.asarray(v) for k, v in mats.items()}
+    model16 = BEVHeight(cfg, head_dtype=jnp.bfloat16)
+    v16 = model16.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(imgs), jmats, False)
+    flat, flat16 = (sorted(flatten_dict(v["params"]).items())
+                    for v in (variables, v16))
+    assert [k for k, _ in flat] == [k for k, _ in flat16]
+    assert all(v.dtype == v2.dtype and v.shape == v2.shape
+               for (_, v), (_, v2) in zip(flat, flat16))
+    preds, _ = model16.apply(variables, jnp.asarray(imgs), jmats, False)
+    assert preds[0]["heatmap"].dtype == jnp.float32
+    preds32, _ = model.apply(variables, jnp.asarray(imgs), jmats, False)
+    for p16, p32 in zip(preds, preds32):
+        for k in p32:
+            np.testing.assert_allclose(
+                np.asarray(p16[k]), np.asarray(p32[k]), atol=0.15, rtol=0.1)
+
+
 @pytest.mark.slow
 def test_topk_lift_near_exact_after_training():
     """Deploy-default proof (VERDICT r1 #2): after training, the DID height
@@ -355,27 +387,40 @@ def test_topk_lift_near_exact_after_training():
     # toy's low-score tail (well below the 0.45 reporting threshold) is
     # chaotic under the k/D = 4/8 truncation, so only detections scoring
     # within 60% of the sample's best are required to match.
-    matched = 0
-    for b in range(2):
-        ve = np.asarray(exact.valid[b])
-        be = np.asarray(exact.boxes[b])[ve]
-        se = np.asarray(exact.scores[b])[ve]
-        le = np.asarray(exact.labels[b])[ve]
-        order = np.argsort(-se)[:3]
-        top = [i for i in order if se[i] >= 0.6 * se[order[0]]]
-        vk = np.asarray(topk.valid[b])
-        bk = np.asarray(topk.boxes[b])[vk]
-        sk = np.asarray(topk.scores[b])[vk]
-        lk = np.asarray(topk.labels[b])[vk]
-        for i in top:
-            cand = np.where(lk == le[i])[0]
-            assert len(cand), (b, i, le[i])
-            d = np.linalg.norm(bk[cand, :2] - be[i, :2], axis=1)
-            j = cand[np.argmin(d)]
-            assert d.min() < 0.8, (b, i, d.min())
-            assert abs(sk[j] - se[i]) < 0.15, (b, i, sk[j], se[i])
-            matched += 1
-    assert matched >= 2
+    def assert_confident_match(exact, approx, max_center=0.8, max_score=0.15):
+        matched = 0
+        for b in range(2):
+            ve = np.asarray(exact.valid[b])
+            be = np.asarray(exact.boxes[b])[ve]
+            se = np.asarray(exact.scores[b])[ve]
+            le = np.asarray(exact.labels[b])[ve]
+            order = np.argsort(-se)[:3]
+            top = [i for i in order if se[i] >= 0.6 * se[order[0]]]
+            vk = np.asarray(approx.valid[b])
+            bk = np.asarray(approx.boxes[b])[vk]
+            sk = np.asarray(approx.scores[b])[vk]
+            lk = np.asarray(approx.labels[b])[vk]
+            for i in top:
+                cand = np.where(lk == le[i])[0]
+                assert len(cand), (b, i, le[i])
+                d = np.linalg.norm(bk[cand, :2] - be[i, :2], axis=1)
+                j = cand[np.argmin(d)]
+                assert d.min() < max_center, (b, i, d.min())
+                assert abs(sk[j] - se[i]) < max_score, (b, i, sk[j], se[i])
+                matched += 1
+        assert matched >= 2
+
+    assert_confident_match(exact, topk)
+
+    # The opt-in bf16 BEV head (api.BEVHeightPredictor(bf16_head=True)) is
+    # held to the same bar on the trained toy: confident detections keep
+    # their label, cell and score. (On random init top-k cell selection
+    # flickers under bf16 noise because all scores tie near zero; after
+    # training the heatmap peaks dominate.)
+    bf16_preds, _ = BEVHeight(cfg, head_dtype=jnp.bfloat16).apply(
+        variables, jnp.asarray(imgs), jmats, False)
+    assert_confident_match(exact, decode(cfg.head, bf16_preds),
+                           max_center=0.8, max_score=0.1)
 
     # Training mode ignores lift_top_k (gradients must reach all bins).
     t_exact, _ = model.apply(
