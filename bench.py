@@ -32,6 +32,10 @@ EXACT_LIFT = os.environ.get("BENCH_EXACT_LIFT", "0") == "1"
 # fp32 (the reference's autocast guard) until the win is measured.
 BF16_HEAD = os.environ.get("BENCH_BF16_HEAD", "0") == "1"
 ITERS = int(os.environ.get("BENCH_ITERS", "10"))
+# BENCH_EXP picks any registered exp (e.g. sgv3d_r50_128 for the flagship
+# BSM model); the default (and the driver's recorded metric) stays the
+# BEVHeight-r101 serving config.
+EXP = os.environ.get("BENCH_EXP", "bevheight_dair_r101_128")
 
 
 def main():
@@ -40,7 +44,7 @@ def main():
     from sgv3d_tpu.decode import decode
     from sgv3d_tpu.models.bev_height import BEVHeight
 
-    cfg = get_exp("bevheight_dair_r101_128")
+    cfg = get_exp(EXP)
     if EXACT_LIFT:
         from sgv3d_tpu.runner import eval_config
         cfg = eval_config(cfg)
@@ -92,12 +96,17 @@ def main():
     baseline = None
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "BENCH_BASELINE.json")
-    if os.path.exists(cache):
+    # the cached torch-CPU baseline was measured for the default r101 graph
+    if os.path.exists(cache) and EXP == "bevheight_dair_r101_128":
         with open(cache) as f:
             baseline = json.load(f).get("torch_cpu_images_per_sec")
     vs = (ips / baseline) if baseline else None
+    # keep the driver's historical metric name for the default exp
+    metric = ("bevheight_r101_infer_images_per_sec"
+              if EXP == "bevheight_dair_r101_128"
+              else f"{EXP}_infer_images_per_sec")
     print(json.dumps({
-        "metric": "bevheight_r101_infer_images_per_sec",
+        "metric": metric,
         "value": round(ips, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs, 2) if vs else None,

@@ -42,11 +42,12 @@ def main():
     from sgv3d_tpu.train.optim import make_optimizer
 
     cfg = get_exp(EXP)
-    topk = os.environ.get("BENCH_TRAIN_TOPK")
-    if topk:
+    # 0/empty means "exact" (disabled) — a top-0 lift would be degenerate.
+    topk = int(os.environ.get("BENCH_TRAIN_TOPK") or 0)
+    if topk > 0:
         import dataclasses
         cfg = dataclasses.replace(cfg, backbone=dataclasses.replace(
-            cfg.backbone, train_lift_top_k=int(topk)))
+            cfg.backbone, train_lift_top_k=topk))
     on_tpu = jax.devices()[0].platform != "cpu"
     model = BEVHeight(cfg, dtype=jnp.bfloat16 if on_tpu else None)
     imgs, mats, gt_boxes, gt_labels, gt_semantic = make_batch(

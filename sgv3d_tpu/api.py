@@ -67,7 +67,7 @@ class BEVHeightPredictor:
         keying on the device arrays would cost a device->host fetch per
         matrix per call (a full round-trip each on a TPU host)."""
         key = tuple(
-            np.asarray(host_mats[k]).tobytes()
+            (k, np.asarray(host_mats[k]).tobytes())
             for k in ("sensor2ego_mats", "sensor2virtual_mats", "intrin_mats",
                       "ida_mats", "reference_heights", "bda_mat")
             if k in host_mats)
@@ -111,14 +111,9 @@ class BEVHeightPredictor:
         readback with the next batch's compute (+32% measured batch-8
         throughput on v5e, tools/probe_bench_overlap.py). Yields the same
         per-batch results as sequential `__call__`s."""
-        prev = None
-        for sweep_imgs, mats_dict in batches:
-            cur = self._dispatch(sweep_imgs, mats_dict)
-            if prev is not None:
-                yield self._collect(prev)
-            prev = cur
-        if prev is not None:
-            yield self._collect(prev)
+        from sgv3d_tpu.utils.pipeline import pipelined
+        yield from pipelined(batches, lambda b: self._dispatch(*b),
+                             self._collect)
 
 
 def load_variables(cfg: ExpConfig, ckpt_path: str) -> Mapping[str, Any]:

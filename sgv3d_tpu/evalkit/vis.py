@@ -264,6 +264,11 @@ def pcd_vis(boxes, save_file: str, label_path: str | None = None,
     for corners in boxes:
         draw_corners(corners, (0, 128, 255))
     if label_path is not None and os.path.exists(label_path):
+        if Tr_velo_to_cam is None:
+            raise ValueError(
+                "pcd_vis: label_path requires Tr_velo_to_cam (the KITTI "
+                "velo->cam extrinsic, e.g. KittiCalibration(...).Tr_velo_to_cam) "
+                "to map camera-frame GT boxes into the lidar BEV")
         Tr_cam2lidar = np.linalg.inv(Tr_velo_to_cam)
         for corners in read_label_bboxes(label_path, Tr_cam2lidar):
             draw_corners(corners, (255, 0, 0))

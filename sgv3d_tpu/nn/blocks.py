@@ -182,10 +182,16 @@ class SABlock(nn.Module):
 
 
 class TaskHead(nn.Module):
-    """Two BasicBlocks + conv/BN/ReLU decoder, optional 1x1 prediction head."""
+    """Two BasicBlocks + conv/BN/ReLU decoder + 1x1 prediction head.
+
+    There is deliberately no `with_head=False` variant: the reference's
+    TaskHead(with_head=False, return_feat=True) forward returns its input
+    UNCHANGED (bsm_lss_fpn.py:195-201 — the decoder params are dead), so the
+    one such call site (`depth_head0`) is an identity in msct_head.py rather
+    than a module here.
+    """
     mid_channels: int
     out_channels: int = 0
-    with_head: bool = True
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -194,8 +200,6 @@ class TaskHead(nn.Module):
         feat = BasicBlock(self.mid_channels, dtype=self.dtype, name="block2")(feat, train)
         feat = ConvBNReLU(self.mid_channels, 3, dtype=self.dtype,
                           name="decoder_out")(feat, train)
-        if not self.with_head:
-            return feat
         pred = conv(self.out_channels, 1, dtype=self.dtype, name="head")(feat)
         if return_feat:
             return pred, feat

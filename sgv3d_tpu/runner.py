@@ -8,6 +8,7 @@ train step over the data mesh, per-epoch checkpoints, metrics JSONL, and the
 from __future__ import annotations
 
 import glob
+import itertools
 import os
 import jax
 import jax.numpy as jnp
@@ -23,6 +24,7 @@ from sgv3d_tpu.train.loop import (
 from sgv3d_tpu.train.metrics import MetricsLogger
 from sgv3d_tpu.train.optim import make_optimizer
 from sgv3d_tpu.train.sharding import make_mesh, shard_batch
+from sgv3d_tpu.utils.pipeline import pipelined
 from sgv3d_tpu.evalkit.evaluator import RoadSideEvaluator
 
 def default_info_paths(cfg: ExpConfig, data_root: str):
@@ -143,7 +145,7 @@ def evaluate(cfg: ExpConfig, ckpt_path: str | None = None,
              val_info_path: str | None = None, state: TrainState | None = None,
              max_batches: int | None = None, num_devices: int | None = None,
              ckpt_step: int | None = None, fast_lift: bool = False,
-             bf16: bool = False):
+             bf16: bool = False, bf16_head: bool = False):
     """Evaluate the val set; returns (mAP, ret_dict).
 
     Like the reference's `-e` mode (/root/reference/exps/...:480-491), a
@@ -155,9 +157,12 @@ def evaluate(cfg: ExpConfig, ckpt_path: str | None = None,
     Evaluation is parity-grade by DEFAULT: fp32 throughout and the exact
     all-bin lift, matching the reference numerics bit-for-bit through
     result2kitti regardless of the exp's deploy settings. `fast_lift=True`
-    opts back into the exp's `lift_top_k` deploy approximation and
-    `bf16=True` into the bf16 backbone (both measured at ΔmAP ~0, see
-    README; the speed knobs live on the serving path, `api.py`).
+    opts back into the exp's `lift_top_k` deploy approximation, `bf16=True`
+    into bf16 backbone convs and `bf16_head=True` into the bf16 BEV head
+    (each quantified through the full pipeline by
+    tests/test_runner.py::test_eval_knob_ap_deltas_quantified; the speed
+    knobs live on the serving path, `api.py`). Unlike the serving path the
+    explicit bf16 flags are honored on any platform, CPU included.
     """
     data_root = data_root or cfg.data_root
     output_dir = output_dir or os.path.join("outputs", cfg.name)
@@ -173,7 +178,8 @@ def evaluate(cfg: ExpConfig, ckpt_path: str | None = None,
     loader = DataLoader(dataset, cfg.batch_size_per_device * n_dev)
 
     mesh = make_mesh(n_dev)
-    model = build_model(cfg, use_bf16=bf16)
+    model = BEVHeight(cfg, dtype=jnp.bfloat16 if bf16 else None,
+                      head_dtype=jnp.bfloat16 if bf16_head else None)
     eval_step = make_eval_step(model, cfg, mesh=mesh)
 
     if state is None:
@@ -243,17 +249,10 @@ def _evaluate_state(cfg: ExpConfig, state: TrainState, eval_step, loader,
 
     # Software-pipelined: dispatch batch i, then fetch batch i-1's (small)
     # detection arrays while i computes — the host readback otherwise costs
-    # a device round-trip per batch (same pattern as bench.py / api.stream).
-    pending = None
-    for bi, batch in enumerate(loader):
-        if max_batches is not None and bi >= max_batches:
-            break
-        cur = dispatch(batch)
-        if pending is not None:
-            collect(*pending)
-        pending = cur
-    if pending is not None:
-        collect(*pending)
+    # a device round-trip per batch (shared helper, also behind api.stream).
+    batches = itertools.islice(loader, max_batches)  # islice(it, None) = all
+    for _ in pipelined(batches, dispatch, lambda p: collect(*p)):
+        pass
 
     dist.synchronize()
     if dist.get_world_size() > 1:

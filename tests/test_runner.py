@@ -105,12 +105,13 @@ def test_eval_config_defaults_to_exact_lift():
 
 
 @pytest.mark.slow
-def test_fast_lift_ap_delta_quantified(tmp_path):
-    """Quantify the top-k deploy lift's effect through the FULL pipeline
+def test_eval_knob_ap_deltas_quantified(tmp_path):
+    """Quantify EVERY eval-mode knob through the FULL pipeline
     (train -> eval -> KITTI txt -> C++ AP), VERDICT r2 next-step #2: train a
     toy detector on a learnable synthetic scene, evaluate with the
-    parity-grade exact lift and with the deploy top-k lift, and bound the
-    difference between the two result sets."""
+    parity-grade exact-fp32 default and with each deploy approximation
+    (top-k lift, bf16 backbone, bf16 BEV head), and bound each mode's
+    difference from the exact result set."""
     import dataclasses
 
     import jax
@@ -142,34 +143,60 @@ def test_fast_lift_ap_delta_quantified(tmp_path):
 
     import json
 
+    # Stated per-knob bounds for the trained-sharp regime: each deploy
+    # approximation moves mAP by < 1 point, and each CONFIDENT exact
+    # detection (score >= 0.5x the frame's best) keeps a same-class match
+    # within 0.5 m whose score moved < score_tol. Confident detections only:
+    # the toy's low-score clutter tail reorders chaotically under ANY
+    # numeric perturbation (rank-paired comparisons there measure pairing
+    # noise, not the knob — measured p80 score deltas are <= 0.005 for every
+    # knob while rank pairing showed phantom 14 m "position" jumps).
+    modes = {
+        "exact": ({}, None),
+        "fast": ({"fast_lift": True}, 0.02),
+        "bf16": ({"bf16": True}, 0.05),
+        "bf16_head": ({"bf16_head": True}, 0.05),
+    }
     results = {}
-    for mode, fast in (("exact", False), ("fast", True)):
+    for mode, (kwargs, _) in modes.items():
         out = str(tmp_path / f"eval_{mode}")
         res = runner.evaluate(cfg, data_root=root, output_dir=out,
-                              state=state, num_devices=1, fast_lift=fast)
+                              state=state, num_devices=1, **kwargs)
         assert res is not None and np.isfinite(res[0])
         with open(os.path.join(out, "results_nusc.json")) as f:
             results[mode] = (res[0], json.load(f)["results"])
 
     map_exact, res_exact = results["exact"]
-    map_fast, res_fast = results["fast"]
-    # Stated bound for the trained-sharp regime: the deploy top-k lift moves
-    # mAP by < 1 point and >= 80% of per-frame top-5 detections agree in
-    # score (< 0.02) and position (< 0.5 m) through the full pipeline.
-    assert abs(map_exact - map_fast) < 1.0, (map_exact, map_fast)
-    assert set(res_exact) == set(res_fast)
-    total = close = 0
-    for tok in res_exact:
-        a = sorted(res_exact[tok], key=lambda d: -d["detection_score"])[:5]
-        b = sorted(res_fast[tok], key=lambda d: -d["detection_score"])[:5]
-        for da, db in zip(a, b):
-            total += 1
-            if (abs(da["detection_score"] - db["detection_score"]) < 0.02
-                    and np.all(np.abs(np.asarray(da["translation"])
-                                      - db["translation"]) < 0.5)):
-                close += 1
-    assert total >= 20, total
-    assert close / total >= 0.8, (close, total)
+    for mode, (_, score_tol) in modes.items():
+        if mode == "exact":
+            continue
+        map_m, res_m = results[mode]
+        assert abs(map_exact - map_m) < 1.0, (mode, map_exact, map_m)
+        assert set(res_exact) == set(res_m)
+        total = close = 0
+        for tok in res_exact:
+            dets = sorted(res_exact[tok],
+                          key=lambda d: -d["detection_score"])[:5]
+            if not dets:
+                continue
+            best = dets[0]["detection_score"]
+            for da in dets:
+                if da["detection_score"] < 0.5 * best:
+                    continue
+                total += 1
+                cand = [db for db in res_m[tok]
+                        if db["detection_name"] == da["detection_name"]]
+                if not cand:
+                    continue
+                dist = [np.abs(np.asarray(da["translation"])
+                               - db["translation"]).max() for db in cand]
+                db = cand[int(np.argmin(dist))]
+                if (min(dist) < 0.5
+                        and abs(da["detection_score"]
+                                - db["detection_score"]) < score_tol):
+                    close += 1
+        assert total >= 10, (mode, total)
+        assert close / total >= 0.8, (mode, close, total)
 
 
 @pytest.mark.slow

@@ -38,6 +38,9 @@ def main():
     parser.add_argument("--bf16", action="store_true",
                         help="evaluate with a bf16 backbone (default: fp32, "
                              "parity-grade)")
+    parser.add_argument("--bf16_head", action="store_true",
+                        help="evaluate with the bf16 BEV head (serving "
+                             "approximation; default fp32)")
     parser.add_argument("--exact_lift", action="store_true",
                         help=argparse.SUPPRESS)  # legacy: now the default
     parser.add_argument("--train_lift_top_k", type=int, default=None,
@@ -62,7 +65,8 @@ def main():
                         output_dir=args.output_dir,
                         val_info_path=args.val_info_path,
                         ckpt_step=args.ckpt_step,
-                        fast_lift=args.fast_lift, bf16=args.bf16)
+                        fast_lift=args.fast_lift, bf16=args.bf16,
+                        bf16_head=args.bf16_head)
     else:
         if args.train_lift_top_k is not None:
             cfg = dataclasses.replace(cfg, backbone=dataclasses.replace(
