@@ -123,3 +123,27 @@ def test_metrics_logger_deferred_flush(tmp_path):
     assert [r["step"] for r in records] == [1, 2, 3]
     assert [r["total_loss"] for r in records] == [1.0, 2.0, 3.0]
     assert abs(records[2]["lr"] - 0.3) < 1e-9
+
+
+def test_pipelined_order_and_tail():
+    """utils.pipeline.pipelined: one dispatch ahead, in-order results, tail
+    flushed, and dispatch(i+1) happens BEFORE collect(i) (the overlap that
+    is the helper's whole point)."""
+    from sgv3d_tpu.utils.pipeline import pipelined
+
+    events = []
+
+    def dispatch(x):
+        events.append(("d", x))
+        return x * 10
+
+    def collect(p):
+        events.append(("c", p))
+        return p + 1
+
+    assert list(pipelined([], dispatch, collect)) == []
+    assert list(pipelined([7], dispatch, collect)) == [71]
+    events.clear()
+    assert list(pipelined([1, 2, 3], dispatch, collect)) == [11, 21, 31]
+    assert events == [("d", 1), ("d", 2), ("c", 10), ("d", 3), ("c", 20),
+                      ("c", 30)]
