@@ -33,34 +33,54 @@ class BEVHeightPredictor:
 
     def __init__(self, cfg: ExpConfig, variables: Mapping[str, Any],
                  use_bf16: bool = True, static_rig: bool = True,
-                 bf16_head: bool = False):
+                 bf16_head: bool = False, mesh=None):
         """`bf16_head` additionally runs the BEV head's convs in bf16
         (fp32 outputs) — a serving approximation beyond the reference's
-        autocast guards (which pin the head fp32), so it is opt-in."""
+        autocast guards (which pin the head fp32), so it is opt-in.
+
+        `mesh` (a `train.sharding.make_mesh` Mesh) turns on multi-chip
+        serving: the batch is sharded over the mesh's `data` axis (params
+        replicated, per-batch results gathered on fetch — batch size must be
+        divisible by the data-axis size), and a 2-D `(data, bev)` mesh
+        additionally shards the BEV map spatially (hybrid DP x SP, halo
+        exchanges inserted by XLA). A 1-device mesh is treated as None —
+        plain jit is faster there (see CLAUDE.md relay pitfall)."""
+        from sgv3d_tpu.train.sharding import (
+            batch_sharding, bev_sharding, replicated)
+
         self.cfg = cfg
+        self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
         on_tpu = jax.devices()[0].platform not in ("cpu",)
         self.model = BEVHeight(
             cfg, dtype=jnp.bfloat16 if (use_bf16 and on_tpu) else None,
-            head_dtype=jnp.bfloat16 if (bf16_head and on_tpu) else None)
+            head_dtype=jnp.bfloat16 if (bf16_head and on_tpu) else None,
+            bev_sharding=(bev_sharding(self.mesh) if self.mesh is not None
+                          else None))
         self.variables = variables
         self.static_rig = static_rig
         self._cells = None
         self._cells_key = None
 
-        @jax.jit
         def _infer(variables, imgs, mats, cells=None):
             preds, _ = self.model.apply(variables, imgs, mats, False,
                                         cells=cells)
             return decode(cfg.head, preds)
 
-        self._infer = _infer
-
-        @jax.jit
         def _cells_fn(mats):
             from sgv3d_tpu.nn.lss_fpn import compute_lift_cells
             return compute_lift_cells(cfg.backbone, mats)
 
-        self._cells_fn = _cells_fn
+        if self.mesh is None:
+            self._infer = jax.jit(_infer)
+            self._cells_fn = jax.jit(_cells_fn)
+            self._batch_sharding = None
+        else:
+            bs, rep = batch_sharding(self.mesh), replicated(self.mesh)
+            self._infer = jax.jit(_infer, in_shardings=(rep, bs, bs, bs),
+                                  out_shardings=bs)
+            self._cells_fn = jax.jit(_cells_fn, in_shardings=(bs,),
+                                     out_shardings=bs)
+            self._batch_sharding = bs
 
     def _rig_cells(self, host_mats, jmats):
         """Cached lift cells, keyed on the HOST-side calibration bytes —
@@ -82,10 +102,18 @@ class BEVHeightPredictor:
         imgs = np.asarray(sweep_imgs)
         if imgs.shape[3] == 3 and imgs.shape[-1] != 3:
             imgs = np.transpose(imgs, (0, 1, 2, 4, 5, 3))  # NCHW -> NHWC
-        jmats = {k: jnp.asarray(v) for k, v in mats_dict.items()}
+        if self._batch_sharding is not None:
+            # place each host shard directly on its devices (no gather onto
+            # one chip first)
+            imgs = jax.device_put(imgs, self._batch_sharding)
+            jmats = {k: jax.device_put(np.asarray(v), self._batch_sharding)
+                     for k, v in mats_dict.items()}
+        else:
+            imgs = jnp.asarray(imgs)
+            jmats = {k: jnp.asarray(v) for k, v in mats_dict.items()}
         cells = (self._rig_cells(mats_dict, jmats) if self.static_rig
                  else None)
-        return self._infer(self.variables, jnp.asarray(imgs), jmats, cells)
+        return self._infer(self.variables, imgs, jmats, cells)
 
     @staticmethod
     def _collect(dets) -> List[list]:

@@ -268,6 +268,33 @@ def test_predictor_static_rig_matches():
     np.testing.assert_allclose(r_flip[0][0], plain_flip[0][0], atol=1e-5)
 
 
+def test_predictor_multichip_dp_matches():
+    """Multi-chip serving: a data-sharded predictor on the 8-device virtual
+    mesh (and a hybrid (data, bev) 2-D mesh) returns the same detections as
+    the single-device predictor for the same weights and batch."""
+    import dataclasses
+
+    from sgv3d_tpu.api import BEVHeightPredictor
+    from sgv3d_tpu.train.sharding import make_mesh
+
+    cfg = tiny_exp(False)
+    cfg = dataclasses.replace(
+        cfg, backbone=dataclasses.replace(cfg.backbone, lift_top_k=4))
+    imgs, mats, *_ = make_batch(cfg, batch=8, num_objs=2)
+    model, variables = _init_model(cfg, imgs, mats, False)
+    single = BEVHeightPredictor(cfg, variables, use_bf16=False)
+    ref = single(imgs, mats)
+    for mesh in (make_mesh(8), make_mesh(8, bev_parallel=2)):
+        sharded = BEVHeightPredictor(cfg, variables, use_bf16=False,
+                                     mesh=mesh)
+        got = sharded(imgs, mats)
+        assert len(got) == len(ref) == 8
+        for (b1, s1, l1), (b2, s2, l2) in zip(got, ref):
+            np.testing.assert_allclose(b1, b2, atol=1e-4)
+            np.testing.assert_allclose(s1, s2, atol=1e-5)
+            np.testing.assert_array_equal(l1, l2)
+
+
 def test_bf16_head_close_and_param_compatible():
     """Opt-in bf16 BEV-head compute: same param tree as the fp32 head (dtype
     only changes compute, params stay fp32 — converted checkpoints load
