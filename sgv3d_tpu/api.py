@@ -76,6 +76,11 @@ class BEVHeightPredictor:
             self._batch_sharding = None
         else:
             bs, rep = batch_sharding(self.mesh), replicated(self.mesh)
+            # Commit the params to the replicated sharding ONCE — otherwise
+            # jit's in_shardings finds the (numpy / single-device) tree
+            # mismatched and silently re-replicates the whole thing across
+            # the mesh on EVERY call (hundreds of MB per batch for r101).
+            self.variables = jax.device_put(variables, rep)
             self._infer = jax.jit(_infer, in_shardings=(rep, bs, bs, bs),
                                   out_shardings=bs)
             self._cells_fn = jax.jit(_cells_fn, in_shardings=(bs,),

@@ -35,11 +35,17 @@ def make_mesh(n_devices: int | None = None, axis_name: str = "data",
 
 
 def bev_sharding(mesh: Mesh) -> NamedSharding | None:
-    """Spatial (Y-axis) sharding spec for (B, Y, X, C) BEV maps, or None on
-    a mesh without a `bev` axis."""
+    """Sharding spec for (B, Y, X, C) BEV maps on a hybrid (data, bev) mesh:
+    Y is sharded over `bev` and the batch dim is left UNCONSTRAINED so it
+    keeps whatever sharding flows in (sharded over `data` inside the train
+    step; replicated for the batch-1 trace in `create_train_state`). Returns
+    None on a mesh without a `bev` axis. (An earlier P(None, 'bev') spec
+    replicated the batch dim, which made XLA all-gather the full batch onto
+    every device and run the BEV head redundantly; a hard P('data', 'bev')
+    breaks model.init, whose batch of 1 is not divisible by the data axis.)"""
     if "bev" not in mesh.axis_names:
         return None
-    return NamedSharding(mesh, P(None, "bev"))
+    return NamedSharding(mesh, P(P.UNCONSTRAINED, "bev"))
 
 
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:

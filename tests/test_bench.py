@@ -23,8 +23,8 @@ def _run_main(monkeypatch, module_name, env, tiny_kwargs):
         monkeypatch.setenv(k, v)
     monkeypatch.syspath_prepend(REPO)
     sys.modules.pop(module_name, None)
+    # fresh import so the module re-reads its env-derived constants
     mod = importlib.import_module(module_name)
-    importlib.reload(mod)  # re-read env-derived module constants
     import sgv3d_tpu.configs
 
     cfg = tiny_exp(**tiny_kwargs)
