@@ -31,6 +31,10 @@ EXACT_LIFT = os.environ.get("BENCH_EXACT_LIFT", "0") == "1"
 # outputs (api.BEVHeightPredictor(bf16_head=True)); default keeps the head
 # fp32 (the reference's autocast guard) until the win is measured.
 BF16_HEAD = os.environ.get("BENCH_BF16_HEAD", "0") == "1"
+# BENCH_FUSED_CONVS=1 opts into the fused Pallas identity-bottleneck runs in
+# the image backbone (ops/pallas_bottleneck.py; numerically parity-tested
+# against the unfused bf16 graph).
+FUSED_CONVS = os.environ.get("BENCH_FUSED_CONVS", "0") == "1"
 ITERS = int(os.environ.get("BENCH_ITERS", "10"))
 # BENCH_EXP picks any registered exp (e.g. sgv3d_r50_128 for the flagship
 # BSM model); the default (and the driver's recorded metric) stays the
@@ -53,7 +57,8 @@ def main():
     on_tpu = jax.devices()[0].platform != "cpu"
     model = BEVHeight(
         cfg, dtype=jnp.bfloat16 if on_tpu else None,
-        head_dtype=jnp.bfloat16 if (BF16_HEAD and on_tpu) else None)
+        head_dtype=jnp.bfloat16 if (BF16_HEAD and on_tpu) else None,
+        fused_convs=FUSED_CONVS and not EXACT_LIFT and on_tpu)
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         jnp.asarray(imgs[:1]), {k: jnp.asarray(v[:1]) for k, v in mats.items()},

@@ -33,10 +33,16 @@ class BEVHeightPredictor:
 
     def __init__(self, cfg: ExpConfig, variables: Mapping[str, Any],
                  use_bf16: bool = True, static_rig: bool = True,
-                 bf16_head: bool = False, mesh=None):
+                 bf16_head: bool = False, mesh=None,
+                 fused_convs: bool | None = None):
         """`bf16_head` additionally runs the BEV head's convs in bf16
         (fp32 outputs) — a serving approximation beyond the reference's
         autocast guards (which pin the head fp32), so it is opt-in.
+
+        `fused_convs` (opt-in; requires use_bf16 on TPU, and keep it off
+        under a mesh — pallas_call does not partition under GSPMD) runs the
+        image backbone's identity-bottleneck stacks as fused Pallas kernels
+        (ops/pallas_bottleneck.py) — same bf16 math, parity-tested.
 
         `mesh` (a `train.sharding.make_mesh` Mesh) turns on multi-chip
         serving: the batch is sharded over the mesh's `data` axis (params
@@ -51,11 +57,18 @@ class BEVHeightPredictor:
         self.cfg = cfg
         self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
         on_tpu = jax.devices()[0].platform not in ("cpu",)
+        if fused_convs is None:
+            # opt-in until the e2e win is measured; always off under a mesh
+            # (a pallas_call has no GSPMD partitioning rules, so the sharded
+            # serving graph would replicate its operands instead of staying
+            # batch-sharded)
+            fused_convs = False
         self.model = BEVHeight(
             cfg, dtype=jnp.bfloat16 if (use_bf16 and on_tpu) else None,
             head_dtype=jnp.bfloat16 if (bf16_head and on_tpu) else None,
             bev_sharding=(bev_sharding(self.mesh) if self.mesh is not None
-                          else None))
+                          else None),
+            fused_convs=fused_convs)
         self.variables = variables
         self.static_rig = static_rig
         self._cells = None

@@ -52,6 +52,10 @@ class BEVHeight(nn.Module):
     # the lift and the BEV head. XLA then partitions every head conv
     # spatially and inserts the halo exchanges over ICI automatically.
     bev_sharding: Any = None
+    # Serving fast path: fused Pallas identity-bottleneck runs in the image
+    # backbone (ops/pallas_bottleneck.py). Inference + bf16 only — a no-op
+    # for training or fp32 parity eval.
+    fused_convs: bool = False
 
     @nn.compact
     def __call__(self, sweep_imgs, mats: Mapping[str, Any], train: bool = False,
@@ -65,7 +69,7 @@ class BEVHeight(nn.Module):
         sweep_imgs = normalize_images(sweep_imgs, self.cfg)
         backbone_cls = BSMLSSFPN if self.cfg.backbone.is_bsm else LSSFPN
         backbone = backbone_cls(self.cfg.backbone, dtype=self.dtype,
-                                name="backbone")
+                                fused_convs=self.fused_convs, name="backbone")
         head = BEVHeightHead(self.cfg.head, dtype=self.head_dtype,
                              name="head")
         bev, aux = backbone(sweep_imgs, mats, train, cells)

@@ -116,6 +116,9 @@ class LSSFPN(nn.Module):
     """BEVHeight backbone: ResNet + SECONDFPN -> HeightNet -> lift-splat."""
     cfg: BackboneConfig
     dtype: jnp.dtype | None = None
+    # Serving fast path: fused Pallas identity-bottleneck runs in the image
+    # backbone (ops/pallas_bottleneck.py; inference + bf16 only).
+    fused_convs: bool = False
 
     @nn.compact
     def __call__(self, sweep_imgs, mats: Mapping[str, Any], train: bool,
@@ -129,7 +132,8 @@ class LSSFPN(nn.Module):
         resnet_cls = (nn.remat(ResNet, static_argnums=(2,))
                       if (cfg.remat_backbone and train) else ResNet)
         backbone = resnet_cls(cfg.resnet_depth, out_indices=(0, 1, 2, 3),
-                              dtype=self.dtype, name="img_backbone")
+                              dtype=self.dtype, fused=self.fused_convs,
+                              name="img_backbone")
         neck = SECONDFPN(cfg.img_neck_out_channels, (0.25, 0.5, 1, 2),
                          dtype=self.dtype, name="img_neck")
         height_net = HeightNet(
@@ -167,6 +171,8 @@ class BSMLSSFPN(nn.Module):
     cfg: BackboneConfig
     dtype: jnp.dtype | None = None
     bg_threshold: float = 0.45
+    # see LSSFPN.fused_convs
+    fused_convs: bool = False
 
     @nn.compact
     def __call__(self, sweep_imgs, mats: Mapping[str, Any], train: bool,
@@ -178,7 +184,8 @@ class BSMLSSFPN(nn.Module):
         resnet_cls = (nn.remat(ResNet, static_argnums=(2,))
                       if (cfg.remat_backbone and train) else ResNet)
         backbone = resnet_cls(cfg.resnet_depth, out_indices=(0, 1, 2, 3),
-                              dtype=self.dtype, name="img_backbone")
+                              dtype=self.dtype, fused=self.fused_convs,
+                              name="img_backbone")
         neck16 = SECONDFPN(cfg.img_neck_out_channels, (0.25, 0.5, 1, 2),
                            dtype=self.dtype, name="img_neck_16")
         neck8 = SECONDFPN(cfg.img_neck_out_channels, (0.5, 1, 2, 4),

@@ -56,11 +56,31 @@ class ResNet(nn.Module):
     out_indices: Sequence[int] = (0, 1, 2, 3)
     with_maxpool: bool = True
     dtype: jnp.dtype | None = None
+    # Serving fast path: run each stage's identity-bottleneck run as fused
+    # Pallas kernels (ops/pallas_bottleneck.py) — inference only (BN folded
+    # into conv weights), bf16 only. Param tree is unchanged: the fused path
+    # reads the same conv/bn params the unfused modules would.
+    fused: bool = False
+
+    def _fused_identity_run(self, x, stage: int, first_block: int,
+                            num_blocks: int):
+        from sgv3d_tpu.ops.pallas_bottleneck import (
+            fold_bottleneck_params, fused_bottleneck_stack)
+        params = self.variables["params"]
+        stats = self.variables["batch_stats"]
+        folded = []
+        for i in range(first_block, num_blocks):
+            name = f"layer{stage + 1}_block{i}"
+            folded.append(fold_bottleneck_params(params[name], stats[name]))
+        return fused_bottleneck_stack(x, folded)
 
     @nn.compact
     def __call__(self, x, train: bool):
         use_bottleneck = self.depth >= 50
         blocks = STAGE_BLOCKS[self.depth][: self.num_stages]
+        use_fused = (self.fused and use_bottleneck and not train
+                     and not self.is_initializing()
+                     and self.dtype == jnp.bfloat16)
 
         x = conv(self.base_channels, 7, 2, use_bias=False, dtype=self.dtype,
                  name="stem_conv")(x)
@@ -73,14 +93,22 @@ class ResNet(nn.Module):
         outs = []
         for stage, (num_blocks, stride) in enumerate(zip(blocks, self.strides)):
             planes = self.base_channels * (2 ** stage)
-            for b in range(num_blocks):
+            b = 0
+            while b < num_blocks:
                 s = stride if b == 0 else 1
-                if use_bottleneck:
+                if (use_fused and s == 1 and x.shape[-1] == planes * 4):
+                    # every remaining block of the stage is a stride-1
+                    # identity bottleneck: one fused Pallas run
+                    x = self._fused_identity_run(x, stage, b, num_blocks)
+                    b = num_blocks
+                elif use_bottleneck:
                     x = Bottleneck(planes, s, dtype=self.dtype,
                                    name=f"layer{stage + 1}_block{b}")(x, train)
+                    b += 1
                 else:
                     x = BasicBlock(planes, s, dtype=self.dtype,
                                    name=f"layer{stage + 1}_block{b}")(x, train)
+                    b += 1
             if stage in self.out_indices:
                 outs.append(x)
         return outs
