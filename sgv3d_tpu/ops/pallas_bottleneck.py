@@ -96,6 +96,12 @@ def _kernel(th: int, n_h: int,
                  preferred_element_type=jnp.float32)
     y1 = jnp.maximum(y1 + b1_ref[...], 0.0)
     y1 = y1.astype(jnp.bfloat16).reshape(th + 2, tile_w, p)
+    # conv2's zero padding lives in y1-space: at the image's top/bottom edge
+    # the halo row of x is zero, but relu(0 @ w1 + b1) = relu(b1) != 0 — the
+    # 3x3 taps must see exactly zero there.
+    row = jax.lax.broadcasted_iota(jnp.int32, y1.shape, 0)
+    edge = ((row == 0) & (i == 0)) | ((row == th + 1) & (i == n_h - 1))
+    y1 = jnp.where(edge, jnp.bfloat16(0), y1)
 
     # 3x3 conv as nine shifted (th*W, P) x (P, P) matmuls accumulated fp32.
     acc = jnp.zeros((th * tile_w, p), jnp.float32)

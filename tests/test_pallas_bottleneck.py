@@ -17,6 +17,15 @@ def _make_block(rng, planes, c):
     params = jax.tree.map(
         lambda a: jnp.asarray(rng.standard_normal(a.shape) * 0.1, a.dtype),
         variables["params"])
+    # Large positive BN biases make the folded conv bias strongly positive,
+    # so any kernel that leaks relu(b1) through the conv2 zero-padding (the
+    # image-edge halo rows) fails loudly instead of within tolerance.
+    params = dict(params)
+    for name in ("bn1", "bn2", "bn3"):
+        params[name] = dict(params[name])
+        params[name]["bias"] = jnp.asarray(
+            np.abs(rng.standard_normal(params[name]["bias"].shape)) + 0.5,
+            jnp.float32)
     stats = jax.tree.map(
         lambda a: jnp.asarray(np.abs(rng.standard_normal(a.shape)) * 0.5
                               + 0.2, a.dtype),
@@ -92,3 +101,32 @@ def test_resnet_fused_matches_unfused():
         np.testing.assert_allclose(np.asarray(g, np.float32),
                                    np.asarray(w, np.float32),
                                    atol=1e-1, rtol=1e-1)
+
+
+@pytest.mark.parametrize("h", [6, 36])  # single tile; multi-tile (th=18)
+def test_conv2_zero_padding_at_image_edges(h):
+    """conv2's padding must be zero in y1-space: with w1=0, b1=1, w2=w3=1
+    the tap count is directly readable from the output (interior 9 taps,
+    edge rows/cols 6, corners 4) — catches any kernel that leaks relu(b1)
+    through the halo rows, exactly, not within tolerance."""
+    from sgv3d_tpu.ops.pallas_bottleneck import fused_bottleneck_stack
+
+    p, c, w = 8, 32, 8
+    fw = {
+        "w1": jnp.zeros((c, p), jnp.bfloat16),
+        "b1": jnp.ones((1, p), jnp.float32),
+        "w2": jnp.ones((9, p, p), jnp.bfloat16),
+        "b2": jnp.zeros((1, p), jnp.float32),
+        "w3": jnp.ones((p, c), jnp.bfloat16),
+        "b3": jnp.zeros((1, c), jnp.float32),
+    }
+    x = jnp.zeros((1, h, w, c), jnp.float32)
+    out = np.asarray(fused_bottleneck_stack(x, [fw], interpret=True),
+                     np.float32)
+    taps = np.full((h, w), 9.0)
+    taps[[0, -1], :] = 6.0
+    taps[:, [0, -1]] = 6.0
+    taps[np.ix_([0, -1], [0, -1])] = 4.0
+    np.testing.assert_array_equal(out[0, :, :, 0], taps * p * p)
+    np.testing.assert_array_equal(
+        out[0], np.broadcast_to(out[0, :, :, :1], out[0].shape))
