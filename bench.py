@@ -33,7 +33,8 @@ EXACT_LIFT = os.environ.get("BENCH_EXACT_LIFT", "0") == "1"
 BF16_HEAD = os.environ.get("BENCH_BF16_HEAD", "0") == "1"
 # BENCH_FUSED_CONVS=1 opts into the fused Pallas identity-bottleneck runs in
 # the image backbone (ops/pallas_bottleneck.py; numerically parity-tested
-# against the unfused bf16 graph).
+# against the unfused bf16 graph). Measured SLOWER e2e (72.4 vs 78.1 img/s)
+# and per-stage — see the pallas_bottleneck.py docstring; kept for study.
 FUSED_CONVS = os.environ.get("BENCH_FUSED_CONVS", "0") == "1"
 ITERS = int(os.environ.get("BENCH_ITERS", "10"))
 # BENCH_EXP picks any registered exp (e.g. sgv3d_r50_128 for the flagship

@@ -13,6 +13,17 @@ drops ~2.5x and the matmuls are large, aligned MXU work.
 Serving-only (inference): BatchNorm is folded into the conv weights
 (`fold_bottleneck_params`), so there is no VJP. Training keeps the XLA path.
 
+MEASURED AND CLOSED (round 3, v5e): the kernel LOSES to XLA's native conv
+lowering at every r101 stage (tools/probe_resnet_stages.py, batch 16,
+ms/block fused vs XLA): layer1 9.23 vs 7.37, layer2 5.77 vs 4.55, layer3
+5.91 vs 5.81, layer4 4.50 vs 4.14; e2e bench 72.4 vs 78.1 img/s. The nine
+shifted matmuls reach only ~20-41 TFLOP/s — the same "conv-as-matmul
+memory amplification" penalty the perf ledger records for the 9-shift-sum
+XLA reformulation — so the ~2.5x HBM-traffic saving never pays for the
+lost MXU efficiency (XLA's conv lowering pipelines its own HBM traffic
+well enough). Kept opt-in (`fused_convs=True` / BENCH_FUSED_CONVS=1),
+parity-tested, default-off everywhere.
+
 Reference context: torchvision/mmdet ResNet bottleneck used by
 /root/reference/exps/sgv3d/...r50...py:54-61 (mmdet `ResNet` conf); the
 math matches `sgv3d_tpu.nn.resnet.Bottleneck` with `use_running_average`.
