@@ -24,6 +24,7 @@ from sgv3d_tpu.train.loop import (
 from sgv3d_tpu.train.metrics import MetricsLogger
 from sgv3d_tpu.train.optim import make_optimizer
 from sgv3d_tpu.train.sharding import make_mesh, shard_batch
+from sgv3d_tpu.utils.backup_files import backup_codebase
 from sgv3d_tpu.utils.pipeline import pipelined
 from sgv3d_tpu.evalkit.evaluator import RoadSideEvaluator
 
@@ -62,11 +63,27 @@ def train(cfg: ExpConfig, data_root: str | None = None,
           output_dir: str | None = None, max_steps: int | None = None,
           resume: bool = True, ckpt_every_epochs: int = 3,
           train_info_path: str | None = None, seed: int = 0,
-          num_devices: int | None = None):
+          num_devices: int | None = None, backup: bool = True,
+          use_bf16: bool = True):
+    """Train `cfg`; returns the final TrainState.
+
+    `backup` (default on) snapshots the source tree into
+    <output_dir>/backup at train start, like the reference's
+    backup_codebase call at every fit()
+    (/root/reference/exps/sgv3d/...r50...py:493 ->
+    /root/reference/utils/backup_files.py:60).
+
+    `use_bf16` (default on) runs backbone convs in bf16 on TPU (geometry/
+    softmax/heads/losses stay fp32 regardless). The reference trains full
+    fp32 (`precision=32`, /root/reference/exps/...:532); pass
+    `use_bf16=False` (CLI `--fp32`) for reference-parity training numerics.
+    """
     data_root = data_root or cfg.data_root
     output_dir = output_dir or os.path.join("outputs", cfg.name)
     info_path, _ = default_info_paths(cfg, data_root)
     info_path = train_info_path or info_path
+    if backup and dist.get_rank() == 0:
+        backup_codebase(os.path.join(output_dir, "backup"))
 
     n_dev = num_devices or jax.local_device_count()
     dataset = RoadSideDataset(
@@ -86,7 +103,7 @@ def train(cfg: ExpConfig, data_root: str | None = None,
     steps_per_epoch = max(1, len(loader))
 
     mesh = make_mesh(n_dev)
-    model = build_model(cfg)
+    model = build_model(cfg, use_bf16=use_bf16)
     tx, schedule = make_optimizer(cfg, jax.device_count(), steps_per_epoch)
 
     sample = next(iter(DataLoader(dataset, 1, prefetch=False)))

@@ -222,16 +222,52 @@ def test_cli_flag_wiring(tmp_path, monkeypatch):
 
     def spy(cfg_arg, **kw):
         seen["cfg"] = cfg_arg
+        seen["kw"] = kw
         return real_train(cfg_arg, **kw)
 
     monkeypatch.setattr(runner, "train", spy)
     monkeypatch.setattr(sys, "argv", [
         "train.py", "tiny_exp", "-b", "1", "--data_root", root,
         "--output_dir", out_dir, "--max_steps", "1",
-        "--train_lift_top_k", "4"])
+        "--train_lift_top_k", "4", "--fp32"])
     import tools.train
     tools.train.main()
 
     assert seen["cfg"].backbone.train_lift_top_k == 4
     assert seen["cfg"].batch_size_per_device == 1
+    assert seen["kw"]["use_bf16"] is False  # --fp32 reference-parity knob
+    assert seen["kw"]["backup"] is True  # default-on train-start backup
     assert os.path.exists(os.path.join(out_dir, "metrics.jsonl"))
+    # the backup tree landed (reference backs up at every fit():
+    # /root/reference/exps/...r50...py:493 -> utils/backup_files.py:60)
+    assert os.path.exists(
+        os.path.join(out_dir, "backup", "sgv3d_tpu", "runner.py"))
+
+
+def test_backup_codebase(tmp_path):
+    """backup_codebase copies the whitelisted tree, gzips big files, skips
+    __pycache__/.so (parity: /root/reference/utils/backup_files.py:47-63)."""
+    from sgv3d_tpu.utils.backup_files import backup_codebase
+
+    src = tmp_path / "repo"
+    (src / "sgv3d_tpu" / "__pycache__").mkdir(parents=True)
+    (src / "sgv3d_tpu" / "sub").mkdir()
+    (src / "sgv3d_tpu" / "small.py").write_text("x = 1\n")
+    (src / "sgv3d_tpu" / "sub" / "big.py").write_text("y = 2\n" * 100_000)
+    (src / "sgv3d_tpu" / "lib.so").write_bytes(b"\x7fELF")
+    (src / "sgv3d_tpu" / "__pycache__" / "c.pyc").write_bytes(b"junk")
+    (src / "bench.py").write_text("pass\n")
+    (src / "unrelated.txt").write_text("not whitelisted\n")
+
+    dst = tmp_path / "backup"
+    backup_codebase(str(dst), repo_root=str(src), blocking=True)
+
+    assert (dst / "sgv3d_tpu" / "small.py").read_text() == "x = 1\n"
+    assert (dst / "bench.py").exists()
+    assert (dst / "sgv3d_tpu" / "sub" / "big.py.gz").exists()  # gzipped
+    import gzip
+    with gzip.open(dst / "sgv3d_tpu" / "sub" / "big.py.gz") as f:
+        assert f.read() == b"y = 2\n" * 100_000
+    assert not (dst / "sgv3d_tpu" / "lib.so").exists()
+    assert not (dst / "sgv3d_tpu" / "__pycache__").exists()
+    assert not (dst / "unrelated.txt").exists()

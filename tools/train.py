@@ -43,6 +43,13 @@ def main():
                              "approximation; default fp32)")
     parser.add_argument("--exact_lift", action="store_true",
                         help=argparse.SUPPRESS)  # legacy: now the default
+    parser.add_argument("--fp32", action="store_true",
+                        help="train full fp32 (reference precision=32 "
+                             "parity). Default: bf16 backbone convs on TPU "
+                             "(geometry/heads/losses are fp32 either way)")
+    parser.add_argument("--no_backup", action="store_true",
+                        help="skip the train-start codebase backup into "
+                             "<output_dir>/backup")
     parser.add_argument("--train_lift_top_k", type=int, default=None,
                         help="opt-in TRAINING speed knob: pool only the "
                              "top-k height bins per pixel during training "
@@ -76,7 +83,9 @@ def main():
                      max_steps=args.max_steps,
                      resume=not args.no_resume,
                      train_info_path=args.train_info_path,
-                     seed=args.seed)
+                     seed=args.seed,
+                     backup=not args.no_backup,
+                     use_bf16=not args.fp32)
 
 
 if __name__ == "__main__":
