@@ -55,7 +55,8 @@ def load_infos(info_path: str):
 
 
 def quat_to_rot(wxyz) -> np.ndarray:
-    w, x, y, z = wxyz
+    # normalised, as pyquaternion Quaternion.rotation_matrix
+    w, x, y, z = np.asarray(wxyz, np.float64) / np.linalg.norm(wxyz)
     return np.array([
         [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
         [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
@@ -75,8 +76,24 @@ def _pose_to_mat(pose: dict) -> np.ndarray:
 
 def quat_yaw(wxyz) -> float:
     """Yaw of a quaternion (yaw_pitch_roll[0] convention of pyquaternion)."""
-    R = quat_to_rot(wxyz)
-    return float(np.arctan2(R[1, 0], R[0, 0]))
+    w, x, y, z = np.asarray(wxyz, np.float64) / np.linalg.norm(wxyz)
+    return float(np.arctan2(2 * (w * z - x * y), 1 - 2 * (y * y + z * z)))
+
+
+def quat_mul(a, b) -> np.ndarray:
+    w1, x1, y1, z1 = a
+    w2, x2, y2, z2 = b
+    return np.array([
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+    ])
+
+
+def quat_conj(q) -> np.ndarray:
+    q = np.asarray(q, np.float64)
+    return np.array([q[0], -q[1], -q[2], -q[3]])
 
 
 class RoadSideDataset:
@@ -245,7 +262,11 @@ class RoadSideDataset:
             center = np.asarray(ann["translation"], np.float64) + trans
             center = rot_inv @ center
             wlh = np.asarray(ann["size"], np.float64)
-            yaw = quat_yaw(ann["rotation"]) + quat_yaw(ego2global_rotation) * -1
+            # composed-quaternion yaw, as nuscenes Box.rotate + yaw_pitch_roll
+            # (reference get_gt :697-705): wrapped into (-pi, pi], unlike a
+            # plain yaw difference (tests/data_oracle.py proves this path)
+            yaw = quat_yaw(quat_mul(quat_conj(ego2global_rotation),
+                                    ann["rotation"]))
             vel = np.asarray(ann.get("velocity", [0, 0, 0]))[:2]
             vel = rot_inv[:2, :2] @ vel
             boxes[n, :3] = center

@@ -108,13 +108,19 @@ def sample_intrin_extrin_augmentation(rng: np.random.Generator,
 
 
 def brightness_augment(rng: np.random.Generator, img: np.ndarray) -> np.ndarray:
-    """30%-probability gray-level shift toward brightness 100 (clipped +-50).
-    Uses BGR gray weights on the RGB array, replicating the reference quirk."""
-    gray = (img[..., 2] * 0.299 + img[..., 1] * 0.587
-            + img[..., 0] * 0.114)
+    """30%-probability gray-level shift toward brightness 100 (+-50 cap),
+    reference :618-623. Two cv2 semantics replicated exactly (verified by
+    tests/data_oracle.py): cvtColor BGR2GRAY fixed-point gray on the
+    RGB-loaded array (the channel-swap quirk is part of the protocol), and
+    convertScaleAbs = |img + beta| rounded half-to-even then saturated at
+    255 — NOT clipped at 0: negative results reflect."""
+    gray = ((img[..., 2].astype(np.int64) * 4899
+             + img[..., 1].astype(np.int64) * 9617
+             + img[..., 0].astype(np.int64) * 1868 + (1 << 13)) >> 14)
     beta = rng.random() * (100 - gray.mean())
     beta = (1 if beta > 0 else -1) * min(abs(beta), 50)
-    return np.clip(img.astype(np.float64) + beta, 0, 255).astype(np.uint8)
+    out = np.rint(np.abs(img.astype(np.float64) + beta))
+    return np.minimum(out, 255).astype(np.uint8)
 
 
 def imnormalize(img: np.ndarray, mean: np.ndarray, std: np.ndarray,

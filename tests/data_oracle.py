@@ -1,0 +1,412 @@
+"""Independent oracle for the HOST data pipeline (VERDICT r3 next-step #2).
+
+Pure numpy + PIL transcription of the reference's per-sample chain —
+`get_image` / `get_gt` / `bev_transform` and their helpers from
+/root/reference/dataset/nusc_mv_det_dataset.py — written directly from the
+reference source (cited per function), NOT from sgv3d_tpu.  Tests compare
+RoadSideDataset's tensors against this module the same way torch_oracle.py
+proves the model graphs.
+
+Randomness is externalized: every stochastic choice (the 50% rectify gate's
+ratio/roll/pitch draws, the 30% brightness draw) is an explicit argument, so
+the test drives both sides with identical draws.
+"""
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+from PIL import Image
+
+# ---------------------------------------------------------------------------
+# plane / virtual-camera helpers (nusc_mv_det_dataset.py:44-87)
+# ---------------------------------------------------------------------------
+
+
+def equation_plane(points):
+    """Plane through 3 points -> [a, b, c, d] (:44-62)."""
+    x1, y1, z1 = points[0, 0], points[0, 1], points[0, 2]
+    x2, y2, z2 = points[1, 0], points[1, 1], points[1, 2]
+    x3, y3, z3 = points[2, 0], points[2, 1], points[2, 2]
+    a1, b1, c1 = x2 - x1, y2 - y1, z2 - z1
+    a2, b2, c2 = x3 - x1, y3 - y1, z3 - z1
+    a = b1 * c2 - b2 * c1
+    b = a2 * c1 - a1 * c2
+    c = a1 * b2 - b1 * a2
+    d = -a * x1 - b * y1 - c * z1
+    return np.array([a, b, c, d])
+
+
+def get_denorm(ego2sensor):
+    """Ground plane (z=0 in ego) expressed in the camera frame (:63-68)."""
+    pts = np.array([[0.0, 0.0, 0.0], [0.0, 1.0, 0.0], [1.0, 1.0, 0.0]])
+    pts = np.concatenate([pts, np.ones((3, 1))], axis=1)
+    cam = (ego2sensor @ pts.T).T
+    return -1 * equation_plane(cam)
+
+
+def _rodrigues(rvec):
+    """cv2.Rodrigues equivalent: axis-angle -> rotation matrix."""
+    theta = float(np.linalg.norm(rvec))
+    if theta < 1e-12:
+        return np.eye(3)
+    k = np.asarray(rvec, np.float64) / theta
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + math.sin(theta) * K + (1 - math.cos(theta)) * (K @ K)
+
+
+def get_sensor2virtual(denorm):
+    """Rotation aligning -denorm normal onto the camera +y axis (:70-82)."""
+    origin = np.array([0, 1, 0])
+    target = -1 * np.array([denorm[0], denorm[1], denorm[2]])
+    target = target / np.sqrt(np.sum(target ** 2))
+    sita = math.acos(float(np.inner(target, origin)))
+    n = np.cross(target, origin)
+    n = (n / np.sqrt(np.sum(n ** 2))).astype(np.float32)
+    rot = _rodrigues(n * sita).astype(np.float32)
+    out = np.eye(4)
+    out[:3, :3] = rot
+    return out.astype(np.float32)
+
+
+def get_reference_height(denorm):
+    """(:84-86)"""
+    return np.float32(abs(denorm[3])
+                      / np.sqrt(denorm[0] ** 2 + denorm[1] ** 2
+                                + denorm[2] ** 2))
+
+
+# ---------------------------------------------------------------------------
+# quaternions (pyquaternion semantics, used by get_gt)
+# ---------------------------------------------------------------------------
+
+
+def quat_mul(a, b):
+    w1, x1, y1, z1 = a
+    w2, x2, y2, z2 = b
+    return np.array([
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+    ])
+
+
+def quat_inverse(q):
+    q = np.asarray(q, np.float64)
+    return np.array([q[0], -q[1], -q[2], -q[3]]) / np.sum(q ** 2)
+
+
+def quat_rot_matrix(q):
+    w, x, y, z = np.asarray(q, np.float64) / np.linalg.norm(q)
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+def quat_yaw(q):
+    """pyquaternion Quaternion.yaw_pitch_roll[0] (normalised, [w,x,y,z])."""
+    w, x, y, z = np.asarray(q, np.float64) / np.linalg.norm(q)
+    return math.atan2(2 * (w * z - x * y), 1 - 2 * (y * y + z * z))
+
+
+# ---------------------------------------------------------------------------
+# image transforms
+# ---------------------------------------------------------------------------
+
+
+def sample_ida(ida_aug_conf):
+    """Deterministic resize/crop; sample_ida_augmentation (:433-446)."""
+    H, W = ida_aug_conf["H"], ida_aug_conf["W"]
+    fH, fW = ida_aug_conf["final_dim"]
+    resize = max(fH / H, fW / W)
+    resize_dims = (int(W * resize), int(H * resize))
+    newW, newH = resize_dims
+    crop_h = int((1 - np.mean(ida_aug_conf["bot_pct_lim"])) * newH) - fH
+    crop_w = int(max(0, newW - fW) / 2)
+    crop = (crop_w, crop_h, crop_w + fW, crop_h + fH)
+    return resize, resize_dims, crop, False, 0
+
+
+def _get_rot2(h):
+    """(:89-93)"""
+    return np.array([[np.cos(h), np.sin(h)], [-np.sin(h), np.cos(h)]])
+
+
+def img_transform(img, resize, resize_dims, crop, flip, rotate):
+    """PIL resize/crop/flip/rotate + the 4x4 ida matrix (:133-161)."""
+    img = img.resize(resize_dims)
+    img = img.crop(crop)
+    if flip:
+        img = img.transpose(method=Image.FLIP_LEFT_RIGHT)
+    img = img.rotate(rotate)
+
+    ida_rot = np.eye(2) * resize
+    ida_tran = -np.array(crop[:2], np.float64)
+    if flip:
+        A = np.array([[-1.0, 0.0], [0.0, 1.0]])
+        b = np.array([crop[2] - crop[0], 0.0])
+        ida_rot = A @ ida_rot
+        ida_tran = A @ ida_tran + b
+    A = _get_rot2(rotate / 180 * np.pi)
+    b = np.array([crop[2] - crop[0], crop[3] - crop[1]]) / 2
+    b = A @ (-b) + b
+    ida_rot = A @ ida_rot
+    ida_tran = A @ ida_tran + b
+    ida_mat = np.zeros((4, 4))
+    ida_mat[3, 3] = 1
+    ida_mat[2, 2] = 1
+    ida_mat[:2, :2] = ida_rot
+    ida_mat[:2, 3] = ida_tran
+    return img, ida_mat.astype(np.float32)
+
+
+def img_intrin_extrin_transform(img, ratio, roll, transform_pitch,
+                                intrin_mat):
+    """Rectify warp: scale about the principal point, paste/crop, rotate by
+    -roll with a pitch translate (:94-110)."""
+    center = intrin_mat[:2, 2].astype(np.int32)
+    center = (int(center[0]), int(center[1]))
+    W, H = img.size[0], img.size[1]
+    new_W, new_H = int(W * ratio), int(H * ratio)
+    img = img.resize((new_W, new_H), Image.LANCZOS)  # ANTIALIAS alias
+    h_min = int(center[1] * abs(1.0 - ratio))
+    w_min = int(center[0] * abs(1.0 - ratio))
+    if ratio <= 1.0:
+        image = Image.new(mode="RGB", size=(W, H))
+        image.paste(img, (w_min, h_min, w_min + new_W, h_min + new_H))
+    else:
+        image = img.crop((w_min, h_min, w_min + W, h_min + H))
+    return image.rotate(-roll, expand=0, center=center,
+                        translate=(0, transform_pitch), fillcolor=(0, 0, 0),
+                        resample=Image.BICUBIC)
+
+
+def get_M(R, K, R_r, K_r):
+    """(:343-349)"""
+    return K_r @ R_r @ np.linalg.inv(R) @ np.linalg.inv(K)
+
+
+def rectify_mats(intrin_mat, ego2sensor, ratio, roll, pitch):
+    """sample_intrin_extrin_augmentation with the draws given (:399-431).
+    Returns (intrin', ego2sensor', transform_pitch)."""
+    intrin_rect = intrin_mat.copy()
+    intrin_rect[:2, :2] = intrin_mat[:2, :2] * ratio
+
+    roll_rad = math.radians(roll)
+    rect_roll = np.array([
+        [math.cos(roll_rad), -math.sin(roll_rad), 0, 0],
+        [math.sin(roll_rad), math.cos(roll_rad), 0, 0],
+        [0, 0, 1, 0], [0, 0, 0, 1]])
+    after_roll = rect_roll @ ego2sensor
+
+    pitch_rad = math.radians(pitch)
+    rect_pitch = np.array([
+        [1, 0, 0, 0],
+        [0, math.cos(pitch_rad), -math.sin(pitch_rad), 0],
+        [0, math.sin(pitch_rad), math.cos(pitch_rad), 0],
+        [0, 0, 0, 1]])
+    after_pitch = rect_pitch @ after_roll
+
+    M = get_M(after_roll[:3, :3], intrin_rect[:3, :3],
+              after_pitch[:3, :3], intrin_rect[:3, :3])
+    center = intrin_rect[:2, 2]
+    center_ref = (M @ np.array([center[0], center[1], 1.0]))[:2]
+    transform_pitch = int(center_ref[1] - center[1])
+    return (intrin_rect.astype(np.float32),
+            after_pitch.astype(np.float32), transform_pitch)
+
+
+def cv2_bgr2gray(img):
+    """cv2.cvtColor(_, COLOR_BGR2GRAY) exact uint8 fixed-point math
+    (R2Y=4899, G2Y=9617, B2Y=1868, shift 14). The reference feeds an
+    RGB-loaded array, so cv2's 'R' coefficient lands on the blue channel —
+    the quirk is part of the protocol (:618-620)."""
+    img = img.astype(np.int64)
+    return ((img[..., 2] * 4899 + img[..., 1] * 9617 + img[..., 0] * 1868
+             + (1 << 13)) >> 14).astype(np.uint8)
+
+
+def brightness_augment(img, u):
+    """30% gray-level shift with the uniform draw `u` given (:618-623).
+    cv2.convertScaleAbs semantics: |img + beta| rounded-half-even, then
+    saturated to 255 (NOT clipped at 0 — negatives reflect)."""
+    gray = cv2_bgr2gray(img)
+    beta = u * (100 - np.mean(gray))
+    beta = (1 if beta > 0 else -1) * min(abs(beta), 50)
+    out = np.rint(np.abs(img.astype(np.float64) + beta))
+    return np.minimum(out, 255).astype(np.uint8)
+
+
+def imnormalize(img, mean, std, to_rgb=True):
+    """mmcv.imnormalize: float32, optional channel reversal, (x-mean)/std
+    (:624; mmcv/image/photometric.py semantics)."""
+    img = img.astype(np.float32)
+    if to_rgb:
+        img = img[..., ::-1]
+    return ((img - np.asarray(mean, np.float32))
+            / np.asarray(std, np.float32)).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# full per-camera chain (get_image, :464-640, single cam / key frame)
+# ---------------------------------------------------------------------------
+
+
+def oracle_get_image(cam_info, data_root, ida_aug_conf,
+                     rectify_draws=None, brightness_u=None,
+                     return_semantic=False,
+                     mask_dir="training/mask_image",
+                     img_mean=(123.675, 116.28, 103.53),
+                     img_std=(58.395, 57.12, 57.375), to_rgb=True):
+    """One camera, key frame. `rectify_draws`: None or (ratio, roll, pitch);
+    `brightness_u`: None or the uniform draw. Returns the processed tensors
+    in HWC (the reference permutes to CHW at :625; layout is compared
+    transposed by the test)."""
+    path = os.path.join(data_root, cam_info["filename"])
+    if not os.path.exists(path):
+        for a, b in ((".png", ".jpg"), (".jpg", ".png")):
+            if a in path and os.path.exists(path.replace(a, b)):
+                path = path.replace(a, b)
+    img = Image.open(path)
+    if img.mode != "RGB":
+        img = img.convert("RGB")
+
+    semantic_img = None
+    if return_semantic:
+        name = os.path.splitext(os.path.basename(path))[0] + ".npy"
+        semantic_img = Image.fromarray(
+            np.load(os.path.join(data_root, mask_dir, name)))
+
+    cal = cam_info["calibrated_sensor"]
+    s2e = np.eye(4, dtype=np.float32)
+    if "rotation_matrix" in cal:
+        s2e[:3, :3] = np.asarray(cal["rotation_matrix"], np.float32)
+    else:
+        s2e[:3, :3] = quat_rot_matrix(cal["rotation"]).astype(np.float32)
+    s2e[:3, 3] = np.asarray(cal["translation"], np.float32)
+    # the reference inverts in torch float32 (:532); mirror the dtype
+    ego2sensor = np.linalg.inv(s2e.astype(np.float64)).astype(np.float32)
+
+    intrin = np.eye(4, dtype=np.float32)
+    intrin[:3, :3] = np.asarray(cal["camera_intrinsic"], np.float32)
+
+    if rectify_draws is not None:
+        ratio, roll, pitch = rectify_draws
+        intrin, ego2sensor, tpitch = rectify_mats(
+            intrin.astype(np.float64), ego2sensor.astype(np.float64),
+            ratio, roll, pitch)
+        img = img_intrin_extrin_transform(img, ratio, roll, tpitch,
+                                          intrin.astype(np.float64))
+        if semantic_img is not None:
+            semantic_img = img_intrin_extrin_transform(
+                semantic_img, ratio, roll, tpitch, intrin.astype(np.float64))
+        s2e = np.linalg.inv(ego2sensor.astype(np.float64)).astype(np.float32)
+
+    denorm = get_denorm(ego2sensor.astype(np.float64))
+    sensor2virtual = get_sensor2virtual(denorm)
+    reference_height = get_reference_height(denorm)
+
+    resize, resize_dims, crop, flip, rot = sample_ida(ida_aug_conf)
+    img, ida_mat = img_transform(img, resize, resize_dims, crop, flip, rot)
+
+    gt_semantic = None
+    if semantic_img is not None:
+        semantic_img, _ = img_transform(semantic_img, resize, resize_dims,
+                                        crop, flip, rot)
+        arr = (np.array(semantic_img) / 40).astype(np.uint8)
+        gt_semantic = arr[:, :, 0] if arr.ndim == 3 else arr
+
+    img = np.array(img)
+    if brightness_u is not None:
+        img = brightness_augment(img, brightness_u)
+    img = imnormalize(img, img_mean, img_std, to_rgb)
+    return dict(img=img, sensor2ego=s2e, sensor2virtual=sensor2virtual,
+                intrin=intrin.astype(np.float32), ida=ida_mat,
+                reference_height=reference_height, gt_semantic=gt_semantic)
+
+
+# ---------------------------------------------------------------------------
+# gt (get_gt, :667-713) and bev_transform (:164-188)
+# ---------------------------------------------------------------------------
+
+MAP_NAME = {
+    "human.pedestrian.adult": "pedestrian",
+    "human.pedestrian.child": "pedestrian",
+    "human.pedestrian.police_officer": "pedestrian",
+    "human.pedestrian.construction_worker": "pedestrian",
+    "vehicle.car": "car",
+    "vehicle.motorcycle": "motorcycle",
+    "vehicle.bicycle": "bicycle",
+    "vehicle.bus.bendy": "bus",
+    "vehicle.bus.rigid": "bus",
+    "vehicle.truck": "truck",
+    "vehicle.construction": "construction_vehicle",
+    "vehicle.trailer": "trailer",
+    "movable_object.barrier": "barrier",
+    "movable_object.trafficcone": "traffic_cone",
+}
+
+
+def oracle_get_gt(info, classes):
+    """Ragged (N, 9) boxes + (N,) labels in the mean-ego frame, nuscenes
+    Box.translate/rotate semantics with the composed-quaternion yaw
+    (:667-713). Box dims emit as wlh[[1, 0, 2]] = (l, w, h)."""
+    cams = list(info["cam_infos"].keys())
+    ego_rot = np.mean(
+        [info["cam_infos"][c]["ego_pose"]["rotation"] for c in cams], 0)
+    ego_tran = np.mean(
+        [info["cam_infos"][c]["ego_pose"]["translation"] for c in cams], 0)
+    trans = -np.asarray(ego_tran, np.float64)
+    q_inv = quat_inverse(ego_rot)
+    R_inv = quat_rot_matrix(q_inv)
+
+    boxes, labels = [], []
+    for ann in info["ann_infos"]:
+        name = MAP_NAME.get(ann["category_name"], "ignore")
+        if name not in classes:
+            continue
+        if ann["num_lidar_pts"] + ann["num_radar_pts"] <= 0:
+            continue
+        center = np.asarray(ann["translation"], np.float64) + trans
+        center = R_inv @ center
+        wlh = np.asarray(ann["size"], np.float64)
+        q = quat_mul(q_inv, ann["rotation"])
+        yaw = quat_yaw(q)
+        velo = R_inv @ np.asarray(
+            list(ann["velocity"][:2]) + [0.0], np.float64)
+        boxes.append(np.concatenate(
+            [center, wlh[[1, 0, 2]], [yaw], velo[:2]]))
+        labels.append(classes.index(name))
+    if not boxes:
+        return np.zeros((0, 9)), np.zeros((0,), np.int64)
+    return np.stack(boxes), np.asarray(labels, np.int64)
+
+
+def oracle_bev_transform(gt_boxes, rotate_angle, scale_ratio, flip_dx,
+                         flip_dy):
+    """(:164-188); numpy transcription of the torch math."""
+    ang = rotate_angle / 180 * np.pi
+    rot_mat = np.array([[np.cos(ang), -np.sin(ang), 0],
+                        [np.sin(ang), np.cos(ang), 0], [0, 0, 1]])
+    scale_mat = np.eye(3) * scale_ratio
+    flip_mat = np.eye(3)
+    if flip_dx:
+        flip_mat = flip_mat @ np.diag([-1.0, 1.0, 1.0])
+    if flip_dy:
+        flip_mat = flip_mat @ np.diag([1.0, -1.0, 1.0])
+    rot_mat = flip_mat @ (scale_mat @ rot_mat)
+    gt_boxes = np.asarray(gt_boxes, np.float64).copy()
+    if gt_boxes.shape[0] > 0:
+        gt_boxes[:, :3] = (rot_mat @ gt_boxes[:, :3, None])[..., 0]
+        gt_boxes[:, 3:6] *= scale_ratio
+        gt_boxes[:, 6] += ang
+        if flip_dx:
+            gt_boxes[:, 6] = 2 * math.asin(1.0) - gt_boxes[:, 6]
+        if flip_dy:
+            gt_boxes[:, 6] = -gt_boxes[:, 6]
+        gt_boxes[:, 7:] = (rot_mat[:2, :2] @ gt_boxes[:, 7:, None])[..., 0]
+    return gt_boxes, rot_mat

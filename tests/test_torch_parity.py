@@ -208,3 +208,37 @@ def test_mscthead_parity_through_converter(rng):
         np.testing.assert_allclose(
             np.asarray(o).transpose(0, 3, 1, 2), np.asarray(r),
             rtol=2e-3, atol=2e-3, err_msg=name)
+
+
+def test_resnet50_bottleneck_parity_through_converter(rng):
+    """Bottleneck (r50/r101 production backbone) parity via the oracle's
+    TorchResNet(depth=50) through the weight converter — the production
+    graphs use mmdet bottleneck ResNets
+    (/root/reference/exps/bevheight/dair-v2x/...r101...py:44-52)."""
+    from torch_oracle import TorchResNet, randomize_params
+
+    tm = TorchResNet(depth=50).eval()
+    randomize_params(tm, seed=5, scale=0.3)
+    x = rng.normal(size=(1, 64, 96, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = [o.numpy() for o in tm(torch.tensor(x.transpose(0, 3, 1, 2)))]
+
+    fm = ResNet(50, out_indices=(0, 1, 2, 3))
+    variables = fm.init(jax.random.PRNGKey(0), jnp.asarray(x), False)
+    sd = {"model.backbone.img_backbone." + k: v.numpy()
+          for k, v in tm.state_dict().items()
+          if "num_batches_tracked" not in k}
+    wrapped = {
+        "params": {"backbone": {"img_backbone": variables["params"]}},
+        "batch_stats": {"backbone": {"img_backbone": variables["batch_stats"]}},
+    }
+    new_vars, used, missing = convert_state_dict(sd, wrapped, strict=True)
+    assert not missing and len(used) == len(sd)
+    converted = {
+        "params": new_vars["params"]["backbone"]["img_backbone"],
+        "batch_stats": new_vars["batch_stats"]["backbone"]["img_backbone"],
+    }
+    outs = fm.apply(converted, jnp.asarray(x), False)
+    for o, r in zip(outs, ref):
+        np.testing.assert_allclose(
+            np.asarray(o).transpose(0, 3, 1, 2), r, rtol=1e-3, atol=1e-3)

@@ -48,24 +48,62 @@ class TorchBasicBlock(nn.Module):
         return torch.relu(out + idt)
 
 
+class TorchBottleneck(nn.Module):
+    """mmdet/torchvision 'pytorch'-style bottleneck: 1x1 -> 3x3(stride) ->
+    1x1(x4 expansion); stride lives on conv2
+    (mmdet ResNet as configured at
+    /root/reference/exps/bevheight/dair-v2x/...r101...py:44-52)."""
+
+    def __init__(self, cin, planes, stride=1):
+        super().__init__()
+        self.conv1 = nn.Conv2d(cin, planes, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, stride, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(planes * 4)
+        self.downsample = None
+        if stride != 1 or cin != planes * 4:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(cin, planes * 4, 1, stride, bias=False),
+                nn.BatchNorm2d(planes * 4))
+
+    def forward(self, x):
+        idt = x if self.downsample is None else self.downsample(x)
+        out = torch.relu(self.bn1(self.conv1(x)))
+        out = torch.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        return torch.relu(out + idt)
+
+
+STAGE_BLOCKS = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3),
+                101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
+
+
 class TorchResNet(nn.Module):
-    """mmdet-style ResNet-18 (BasicBlock), stem 7x7/2 + optional maxpool."""
+    """mmdet-style ResNet (BasicBlock for depth<50, Bottleneck for >=50),
+    stem 7x7/2 + optional maxpool."""
 
     def __init__(self, cin=3, base=64, stages=4, strides=(1, 2, 2, 2),
-                 maxpool=True):
+                 maxpool=True, depth=18):
         super().__init__()
         self.conv1 = nn.Conv2d(cin, base, 7, 2, 3, bias=False)
         self.bn1 = nn.BatchNorm2d(base)
         self.maxpool = nn.MaxPool2d(3, 2, 1) if maxpool else None
         self.num_stages = stages
+        bottleneck = depth >= 50
         c = base
         for li in range(stages):
             planes = base * 2 ** li
             blocks = []
-            for b in range(2):
-                blocks.append(TorchBasicBlock(
-                    c, planes, strides[li] if b == 0 else 1))
-                c = planes
+            for b in range(STAGE_BLOCKS[depth][li]):
+                s = strides[li] if b == 0 else 1
+                if bottleneck:
+                    blocks.append(TorchBottleneck(c, planes, s))
+                    c = planes * 4
+                else:
+                    blocks.append(TorchBasicBlock(c, planes, s))
+                    c = planes
             setattr(self, f"layer{li + 1}", nn.Sequential(*blocks))
 
     def forward(self, x):
@@ -304,7 +342,8 @@ class TorchBEVHeight(nn.Module):
         self.cfg = cfg
         backbone = nn.Module()
         backbone.img_backbone = TorchResNet(
-            cin=3, base=64, stages=4, strides=(1, 2, 2, 2), maxpool=True)
+            cin=3, base=64, stages=4, strides=(1, 2, 2, 2), maxpool=True,
+            depth=b.resnet_depth)
         neck_in = list(b.resnet_out_channels)
         backbone.img_neck = TorchSECONDFPN(
             neck_in, (0.25, 0.5, 1, 2), b.img_neck_out_channels)
@@ -474,7 +513,8 @@ class TorchBSMBEVHeight(nn.Module):
         self.cfg = cfg
         backbone = nn.Module()
         backbone.img_backbone = TorchResNet(
-            cin=3, base=64, stages=4, strides=(1, 2, 2, 2), maxpool=True)
+            cin=3, base=64, stages=4, strides=(1, 2, 2, 2), maxpool=True,
+            depth=b.resnet_depth)
         neck_in = list(b.resnet_out_channels)
         backbone.img_neck_16 = TorchSECONDFPN(
             neck_in, (0.25, 0.5, 1, 2), b.img_neck_out_channels)
@@ -694,3 +734,40 @@ def randomize_params(model, seed=7, scale=0.2):
                     torch.randn(m.running_mean.shape, generator=g) * 0.3)
                 m.running_var.copy_(
                     torch.rand(m.running_var.shape, generator=g) + 0.5)
+
+
+def he_randomize_params(model, seed=7, gain=1.3, bn_seed=11):
+    """Width-normalized random weights for PRODUCTION-scale parity runs.
+
+    `randomize_params`'s scale/k rule is calibrated for the tiny test widths;
+    at production widths (cin up to 2048) its per-conv variance gain is
+    cin*scale^2 >> 1 and activations overflow through an r101 stack. Here
+    conv/linear std = gain/sqrt(fan_in) (He-style) and BN running_var stays
+    near 1, so eval-mode magnitudes remain finite and non-degenerate at any
+    width/depth.
+    """
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for name, p in model.named_parameters():
+            if "conv_offset" in name:
+                # sub-pixel offsets keep DCN sampling informative
+                p.copy_(torch.randn(p.shape, generator=g) * 0.02)
+            elif p.ndim == 4:
+                fan_in = p.shape[1] * p.shape[2] * p.shape[3]
+                p.copy_(torch.randn(p.shape, generator=g)
+                        * gain / math.sqrt(fan_in))
+            elif p.ndim == 2:
+                p.copy_(torch.randn(p.shape, generator=g)
+                        * gain / math.sqrt(p.shape[1]))
+            else:
+                p.copy_(torch.randn(p.shape, generator=g) * 0.1)
+        gb = torch.Generator().manual_seed(bn_seed)
+        for m in model.modules():
+            if isinstance(m, (nn.BatchNorm2d, nn.BatchNorm1d)):
+                m.running_mean.copy_(
+                    torch.randn(m.running_mean.shape, generator=gb) * 0.3)
+                m.running_var.copy_(
+                    torch.rand(m.running_var.shape, generator=gb) * 0.5 + 0.75)
+                m.weight.copy_(
+                    torch.randn(m.weight.shape, generator=gb) * 0.2 + 1.0)
+                m.bias.copy_(torch.randn(m.bias.shape, generator=gb) * 0.1)
