@@ -28,8 +28,10 @@ STATIC_RIG = os.environ.get("BENCH_STATIC_RIG", "1") == "1"
 # evaluation default) instead of the exp's top-k deploy lift.
 EXACT_LIFT = os.environ.get("BENCH_EXACT_LIFT", "0") == "1"
 # BENCH_BF16_HEAD=1 runs the BEV head's HBM-bound convs in bf16 with fp32
-# outputs (api.BEVHeightPredictor(bf16_head=True)); default keeps the head
-# fp32 (the reference's autocast guard) until the win is measured.
+# outputs (api.BEVHeightPredictor(bf16_head=True)). MEASURED round 4:
+# 79.126 vs 78.648 img/s (+0.6%) — below the flip-the-default bar, so the
+# serving default keeps the head fp32 (the reference's autocast guard);
+# line closed.
 BF16_HEAD = os.environ.get("BENCH_BF16_HEAD", "0") == "1"
 # BENCH_FUSED_CONVS=1 opts into the fused Pallas identity-bottleneck runs in
 # the image backbone (ops/pallas_bottleneck.py; numerically parity-tested

@@ -196,3 +196,19 @@ def test_kitti_txt_lines_match(parity_setup, tmp_path):
             np.testing.assert_allclose(jv, tv, rtol=2e-3, atol=2e-3,
                                        err_msg=f"{fn}: {tl} vs {jl}")
     assert total_lines > 0, "no KITTI lines written - not meaningful"
+
+
+@pytest.mark.slow
+def test_parity_full_machinery_smoke(tmp_path):
+    """tools/parity_full.py end-to-end at PRODUCTION channel widths (r101 /
+    BSM mid-(512,256)) on a reduced input — keeps the recorded PARITY.json
+    machinery runnable. The real artifact run uses 864x1536 (see
+    PARITY.json at the repo root)."""
+    import parity_full
+
+    for exp in ("bevheight_dair_r101_128", "sgv3d_r50_128"):
+        rep = parity_full.run_family(exp, str(tmp_path), seed=3,
+                                     final_dim=(128, 256), gain=0.8)
+        assert rep["ok"], {k: rep[k] for k in
+                           ("exp", "head_ok", "boxes_ok", "lines_ok",
+                            "head_max_rel_delta", "boxes", "kitti_lines")}

@@ -286,37 +286,65 @@ def run_knobs(exp_name: str, seed: int = 3, final_dim=None,
         False)
     sd = {"model." + k: v.numpy() for k, v in tm.state_dict().items()
           if "num_batches_tracked" not in k}
-    new_vars, _, _ = convert_state_dict(sd, dict(variables), strict=False,
-                                        is_bsm=is_bsm)
-    new_vars = _sharpen_height_logits(new_vars, is_bsm)
+    base_vars, _, _ = convert_state_dict(sd, dict(variables), strict=False,
+                                         is_bsm=is_bsm)
+    sharpened = {}
     jmats = {k: jnp.asarray(v) for k, v in mats.items()}
 
-    def run(model_cfg, **model_kw):
+    def run(model_cfg, sharpen=6.0, **model_kw):
+        if sharpen not in sharpened:
+            sharpened[sharpen] = _sharpen_height_logits(
+                base_vars, is_bsm, factor=sharpen)
         m = BEVHeight(model_cfg, **model_kw)
-        preds, _ = m.apply(new_vars, jnp.asarray(imgs), jmats, False)
+        preds, _ = m.apply(sharpened[sharpen], jnp.asarray(imgs), jmats,
+                           False)
         dets = decode(model_cfg.head, preds)
         v = np.asarray(dets.valid[0])
-        return (np.asarray(dets.labels[0])[v],
-                np.concatenate([np.asarray(dets.boxes[0])[v],
-                                np.asarray(dets.scores[0])[v][:, None]], 1))
+        return preds, (np.asarray(dets.labels[0])[v],
+                       np.concatenate([np.asarray(dets.boxes[0])[v],
+                                       np.asarray(dets.scores[0])[v][:, None]],
+                                      1))
 
-    exact_lab, exact_vec = run(cfg)
+    exacts = {6.0: run(cfg)}
+    # The top-16 lift's fidelity scales with how concentrated the DID
+    # softmax is; trained checkpoints are sharply peaked (tested:
+    # tests/test_model.py::test_topk_lift_near_exact_after_training), random
+    # weights are not. fast_lift is therefore probed at two sharpenings —
+    # x6 (the toy test's trained-sharp proxy) and x20 (a trained-grade
+    # concentration) — to bound the knob across regimes at this scale.
     knobs = {
         "fast_lift": (dc.replace(cfg, backbone=dc.replace(
             cfg.backbone, lift_top_k=16)), {}),
+        "fast_lift_sharp20": (dc.replace(cfg, backbone=dc.replace(
+            cfg.backbone, lift_top_k=16)), {"sharpen": 20.0}),
         "bf16": (cfg, {"dtype": jnp.bfloat16}),
         "bf16_head": (cfg, {"head_dtype": jnp.bfloat16}),
     }
-    out = {"exp": exp_name, "boxes": int(len(exact_lab)), "knobs": {}}
+    out = {"exp": exp_name, "boxes": int(len(exacts[6.0][1][0])),
+           "knobs": {}}
     for name, (kcfg, kw) in knobs.items():
-        lab, vec = run(kcfg, **kw)
-        # confident subset: score >= 0.5 x best (same rule as the toy test —
-        # the low-score clutter tail reorders under ANY perturbation)
-        thr = 0.5 * exact_vec[:, -1].max()
-        keep = exact_vec[:, -1] >= thr
-        m = _match_sets(exact_lab[keep], exact_vec[keep], lab, vec)
+        sharpen = kw.get("sharpen", 6.0)
+        if sharpen not in exacts:
+            exacts[sharpen] = run(cfg, sharpen=sharpen)
+        exact_preds, (exact_lab, exact_vec) = exacts[sharpen]
+        top = np.argsort(-exact_vec[:, -1])[:20]  # strongest 20 detections
+        kpreds, (lab, vec) = run(kcfg, **kw)
+        # (a) pairing-free evidence: worst relative head-tensor delta
+        head_delta = 0.0
+        for ti in range(len(cfg.head.tasks)):
+            for hname in HEAD_NAMES:
+                ref = np.asarray(exact_preds[ti][hname], np.float32)
+                got = np.asarray(kpreds[ti][hname], np.float32)
+                head_delta = max(head_delta, float(np.max(
+                    np.abs(got - ref) / np.maximum(np.abs(ref), 1.0))))
+        # (b) the 20 strongest exact detections must keep a same-label
+        # counterpart under the knob (random weights make the low-score
+        # clutter tail reorder under ANY perturbation, so only the head of
+        # the ranking is a meaningful stability probe)
+        m = _match_sets(exact_lab[top], exact_vec[top], lab, vec)
         out["knobs"][name] = {"count_delta": int(len(lab) - len(exact_lab)),
-                              "confident": int(keep.sum()), **m}
+                              "head_max_rel_delta": head_delta,
+                              "top20": m}
         print(f"  knob {name}: {out['knobs'][name]}", flush=True)
     return out
 
