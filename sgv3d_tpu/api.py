@@ -38,6 +38,9 @@ class BEVHeightPredictor:
         """`bf16_head` additionally runs the BEV head's convs in bf16
         (fp32 outputs) — a serving approximation beyond the reference's
         autocast guards (which pin the head fp32), so it is opt-in.
+        Measured e2e on v5e (round 4): +0.6% img/s only — below the bar to
+        make it the default; the win the per-stage profile suggested is
+        mostly recovered by XLA's fusions already.
 
         `fused_convs` (opt-in; requires use_bf16 on TPU, and keep it off
         under a mesh — pallas_call does not partition under GSPMD) runs the

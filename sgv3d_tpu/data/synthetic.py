@@ -88,10 +88,16 @@ def make_batch(cfg: ExpConfig, batch: int, seed: int = 0, num_objs: int = 12,
 
 
 def write_fake_kitti_root(root, n_frames: int = 6, src_hw=(216, 384),
-                          seed: int = 0, learnable: bool = False):
+                          seed: int = 0, learnable: bool = False,
+                          static_scene: bool = False):
     """Write a tiny on-disk rope3d-kitti-style dataset tree (images, masks,
     calib, label_eval GT, train/val info pkls) for integration tests and the
     driver's multi-chip eval dry-run. Returns the root path (str).
+
+    `static_scene` keeps the SAME object positions in every frame (a
+    roadside rig watching parked cars): the easiest learnable scene — a toy
+    detector can memorize it to nonzero KITTI AP in a few hundred steps,
+    which is what the dry-run's discriminating eval floor needs.
 
     Layout mirrors what `tools/converters` produce from the real datasets
     (/root/reference/scripts/data_converter/... output conventions).
@@ -135,8 +141,14 @@ def write_fake_kitti_root(root, n_frames: int = 6, src_hw=(216, 384),
             f.write("Tr_velo_to_cam: " + " ".join(f"{v}" for v in row) + "\n")
         gt_lines = []
         anns = []
-        for _ in range(3):
-            x, y = rng.uniform(6, 20), rng.uniform(-8, 8)
+        if static_scene and i == 0:
+            static_xy = [(rng.uniform(6, 20), rng.uniform(-8, 8))
+                         for _ in range(3)]
+        for obj in range(3):
+            if static_scene:
+                x, y = static_xy[obj]
+            else:
+                x, y = rng.uniform(6, 20), rng.uniform(-8, 8)
             anns.append(dict(
                 category_name="vehicle.car",
                 translation=[x, y, 0.8],
@@ -151,8 +163,12 @@ def write_fake_kitti_root(root, n_frames: int = 6, src_hw=(216, 384),
                     blob = ((xx - u) ** 2 + (yy - v) ** 2) < (
                         max(4.0, 120.0 / cam[2]) ** 2)
                     img[blob] = 255
+            # dims columns are (h, l, w) — the reference converters' i9/i11/
+            # i10 swap (/root/reference/scripts/data_converter/gen_kitti/
+            # label_json2kitti.py:19), the convention every label file in
+            # this pipeline uses (writer AND GT; tools/converters/dair.py:92)
             gt_lines.append(
-                f"Car 0 0 0.5 100 100 200 200 1.6 1.9 4.5 "
+                f"Car 0 0 0.5 100 100 200 200 1.6 4.5 1.9 "
                 f"{cam[0]:.4f} {cam[1]:.4f} {cam[2]:.4f} {np.pi/2:.4f}")
         Image.fromarray(img).save(os.path.join(root, "images", f"{i:06d}.jpg"))
         with open(os.path.join(root, "training/label_eval", f"{i:06d}.txt"),

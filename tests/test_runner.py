@@ -244,6 +244,38 @@ def test_cli_flag_wiring(tmp_path, monkeypatch):
         os.path.join(out_dir, "backup", "sgv3d_tpu", "runner.py"))
 
 
+def test_fake_kitti_root_gt_conventions(tmp_path):
+    """The synthetic GT tree must use the pipeline's KITTI dims column order
+    (h, l, w) — the reference converters' i9/i11/i10 swap
+    (/root/reference/scripts/data_converter/gen_kitti/label_json2kitti.py:19)
+    — so the parser's [2, 0, 1] reorder
+    (/root/reference/evaluators/kitti_utils/kitti_common.py) yields
+    (w, h, l). A standard-KITTI (h, w, l) file here silently swaps w/l and
+    collapses IoU (and AP) to zero. Also pins `static_scene=True`: identical
+    object positions in every frame (the dry-run's memorizable scene)."""
+    from sgv3d_tpu.data.synthetic import write_fake_kitti_root
+    from sgv3d_tpu.evalkit.kitti_common import get_label_anno
+
+    root = write_fake_kitti_root(tmp_path / "static", n_frames=3,
+                                 static_scene=True)
+    annos = [get_label_anno(os.path.join(root, "training/label_eval",
+                                         f"{i:06d}.txt")) for i in range(3)]
+    for anno in annos:
+        assert list(anno["name"]) == ["Car"] * 3
+        # file columns 1.6 4.5 1.9 = (h, l, w) -> parsed (w, h, l)
+        np.testing.assert_allclose(anno["dimensions"],
+                                   np.tile([1.9, 1.6, 4.5], (3, 1)))
+    # static scene: the SAME ground-truth locations in every frame
+    np.testing.assert_array_equal(annos[0]["location"], annos[1]["location"])
+    np.testing.assert_array_equal(annos[0]["location"], annos[2]["location"])
+
+    # default (non-static) scenes draw fresh positions per frame
+    root2 = write_fake_kitti_root(tmp_path / "moving", n_frames=2)
+    a0, a1 = (get_label_anno(os.path.join(root2, "training/label_eval",
+                                          f"{i:06d}.txt")) for i in range(2))
+    assert not np.array_equal(a0["location"], a1["location"])
+
+
 def test_backup_codebase(tmp_path):
     """backup_codebase copies the whitelisted tree, gzips big files, skips
     __pycache__/.so (parity: /root/reference/utils/backup_files.py:47-63)."""

@@ -37,12 +37,16 @@ sys.path.insert(0, os.path.join(_REPO, "tools"))
 
 import jax
 
-# parity is defined at fp32 on CPU; force it even if the relay pre-dialed
-try:
-    jax.config.update("jax_platforms", "cpu")
-except Exception:
-    pass
-jax.config.update("jax_default_matmul_precision", "float32")
+
+def _force_cpu_fp32():
+    """Parity is defined at fp32 on CPU; force it when run as a CLI (when
+    imported by tests, conftest has already pinned the platform)."""
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+    jax.config.update("jax_default_matmul_precision", "float32")
+
 
 import dataclasses
 
@@ -350,6 +354,7 @@ def run_knobs(exp_name: str, seed: int = 3, final_dim=None,
 
 
 def main():
+    _force_cpu_fp32()
     parser = argparse.ArgumentParser()
     parser.add_argument("--exps", nargs="+",
                         default=["bevheight_dair_r101_128", "sgv3d_r50_128"])
