@@ -7,6 +7,7 @@ train step over the data mesh, per-epoch checkpoints, metrics JSONL, and the
 """
 from __future__ import annotations
 
+import contextlib
 import glob
 import itertools
 import os
@@ -22,6 +23,7 @@ from sgv3d_tpu.train.checkpoint import CheckpointManager
 from sgv3d_tpu.train.loop import (
     TrainState, create_train_state, make_eval_step, make_train_step)
 from sgv3d_tpu.train.metrics import MetricsLogger
+from sgv3d_tpu.train import profiling
 from sgv3d_tpu.train.optim import make_optimizer
 from sgv3d_tpu.train.sharding import make_mesh, shard_batch
 from sgv3d_tpu.utils.backup_files import backup_codebase
@@ -64,7 +66,7 @@ def train(cfg: ExpConfig, data_root: str | None = None,
           resume: bool = True, ckpt_every_epochs: int = 3,
           train_info_path: str | None = None, seed: int = 0,
           num_devices: int | None = None, backup: bool = True,
-          use_bf16: bool = True):
+          use_bf16: bool = True, trace_dir: str | None = None):
     """Train `cfg`; returns the final TrainState.
 
     `backup` (default on) snapshots the source tree into
@@ -77,6 +79,13 @@ def train(cfg: ExpConfig, data_root: str | None = None,
     softmax/heads/losses stay fp32 regardless). The reference trains full
     fp32 (`precision=32`, /root/reference/exps/...:532); pass
     `use_bf16=False` (CLI `--fp32`) for reference-parity training numerics.
+
+    A per-section wall-time summary (data wait / step dispatch / metrics
+    log) is printed at the end of training — the equivalent of the
+    reference's default-on Lightning `profiler='simple'`
+    (/root/reference/exps/sgv3d/...r50...py:524). `trace_dir` (CLI
+    `--trace`) additionally records a jax.profiler TensorBoard trace of the
+    whole run — pair it with a small `max_steps`.
     """
     data_root = data_root or cfg.data_root
     output_dir = output_dir or os.path.join("outputs", cfg.name)
@@ -120,30 +129,40 @@ def train(cfg: ExpConfig, data_root: str | None = None,
     step = int(jax.device_get(state.step))
     total_steps = max_steps or cfg.max_epochs * steps_per_epoch
     epoch = step // steps_per_epoch
+    prof = profiling.SimpleProfiler()
+    trace_ctx = (profiling.trace(trace_dir) if trace_dir
+                 else contextlib.nullcontext())
     try:
-        while step < total_steps:
-            for batch in loader:
-                imgs, mats, gt_boxes, gt_labels, gt_semantic, _ = batch
-                args = (jnp.asarray(imgs),
-                        {k: jnp.asarray(v) for k, v in mats.items()},
-                        jnp.asarray(gt_boxes), jnp.asarray(gt_labels),
-                        jnp.asarray(gt_semantic) if gt_semantic is not None
-                        else None)
-                sharded = shard_batch(mesh, args)
-                state, metrics = train_step(state, *sharded)
-                step += 1
-                logger.log(step, metrics, lr=schedule(step),
-                           epoch=step / steps_per_epoch)
-                if step >= total_steps:
-                    break
-            epoch = step // steps_per_epoch
-            if epoch % ckpt_every_epochs == 0 or step >= total_steps:
-                ckpt.save(state)
-        ckpt.save(state, wait=True)
+        with trace_ctx:
+            while step < total_steps:
+                for batch in profiling.profile_iter(prof, "data_wait", loader):
+                    imgs, mats, gt_boxes, gt_labels, gt_semantic, _ = batch
+                    with prof.profile("step_dispatch"):
+                        args = (jnp.asarray(imgs),
+                                {k: jnp.asarray(v) for k, v in mats.items()},
+                                jnp.asarray(gt_boxes), jnp.asarray(gt_labels),
+                                jnp.asarray(gt_semantic)
+                                if gt_semantic is not None else None)
+                        sharded = shard_batch(mesh, args)
+                        state, metrics = train_step(state, *sharded)
+                    step += 1
+                    with prof.profile("metrics_log"):
+                        logger.log(step, metrics, lr=schedule(step),
+                                   epoch=step / steps_per_epoch)
+                    if step >= total_steps:
+                        break
+                epoch = step // steps_per_epoch
+                if epoch % ckpt_every_epochs == 0 or step >= total_steps:
+                    with prof.profile("checkpoint"):
+                        ckpt.save(state)
+            with prof.profile("checkpoint"):
+                ckpt.save(state, wait=True)
     finally:
         # flush the deferred last step even on a crash — that step's metrics
         # (NaN loss, etc.) are exactly what's needed to debug it
         logger.close()
+        if dist.get_rank() == 0 and prof.counts:
+            print(f"train profile (simple) [{cfg.name}]:\n{prof.summary()}")
     return state
 
 

@@ -47,6 +47,22 @@ def time_fn(fn: Callable, *args, iters: int = 10, warmup: int = 2,
     return (time.perf_counter() - t0) / iters
 
 
+def profile_iter(prof: "SimpleProfiler", name: str, iterable):
+    """Yield from `iterable`, charging each `next()` wait to `prof[name]`.
+
+    Used by the training loop to account the data-loader stall time
+    separately from step dispatch (the Lightning 'simple' profiler's
+    get_train_batch / run_training_batch split)."""
+    it = iter(iterable)
+    while True:
+        with prof.profile(name):
+            try:
+                item = next(it)
+            except StopIteration:
+                return
+        yield item
+
+
 class SimpleProfiler:
     """Per-section cumulative wall times (the Lightning 'simple' equivalent)."""
 

@@ -47,6 +47,10 @@ def main():
                         help="train full fp32 (reference precision=32 "
                              "parity). Default: bf16 backbone convs on TPU "
                              "(geometry/heads/losses are fp32 either way)")
+    parser.add_argument("--trace", type=str, default=None, metavar="DIR",
+                        help="record a jax.profiler TensorBoard trace of "
+                             "the training run into DIR (pair with a small "
+                             "--max_steps)")
     parser.add_argument("--no_backup", action="store_true",
                         help="skip the train-start codebase backup into "
                              "<output_dir>/backup")
@@ -85,7 +89,8 @@ def main():
                      train_info_path=args.train_info_path,
                      seed=args.seed,
                      backup=not args.no_backup,
-                     use_bf16=not args.fp32)
+                     use_bf16=not args.fp32,
+                     trace_dir=args.trace)
 
 
 if __name__ == "__main__":
