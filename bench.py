@@ -15,10 +15,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Batch 16 is the measured throughput knee on v5e (tools/probe_bench_overlap.py:
-# pipelined img/s 72.2 @ bs8, 78.4 @ bs16, 78.4 @ bs24, 79.7 @ bs32) — near-peak
-# throughput at half the bs32 latency.
-BATCH = int(os.environ.get("BENCH_BATCH", "16"))
+# Batch 32 is the measured pipelined-throughput peak on v5e
+# (tools/probe_bench_overlap.py: img/s 72.2 @ bs8, 78.4 @ bs16, 78.4 @ bs24,
+# 79.7 @ bs32; head-to-head same-session bench runs r4: 78.3 @ bs16 vs
+# 80.7 @ bs32, +3%). Latency-sensitive serving should still prefer bs16 —
+# near-peak throughput at half the per-batch latency.
+BATCH = int(os.environ.get("BENCH_BATCH", "32"))
 # Roadside rigs are static, so the serving path caches the frustum->BEV cell
 # geometry per calibration (api.BEVHeightPredictor(static_rig=True)); the
 # bench measures that steady state by default. BENCH_STATIC_RIG=0 re-derives

@@ -267,8 +267,12 @@ class RoadSideDataset:
             # plain yaw difference (tests/data_oracle.py proves this path)
             yaw = quat_yaw(quat_mul(quat_conj(ego2global_rotation),
                                     ann["rotation"]))
-            vel = np.asarray(ann.get("velocity", [0, 0, 0]))[:2]
-            vel = rot_inv[:2, :2] @ vel
+            # nuscenes Box.rotate spins the FULL velocity 3-vector before
+            # [:2] is taken (reference get_gt :700-707) — with pitch/roll in
+            # the ego rotation the vz term leaks into vx/vy, so rotate all 3
+            vel3 = np.asarray(ann.get("velocity", [0.0, 0.0, 0.0]),
+                              np.float64)
+            vel = (rot_inv @ vel3)[:2]
             boxes[n, :3] = center
             boxes[n, 3:6] = wlh[[1, 0, 2]]  # dx(l), dy(w), dz(h)
             boxes[n, 6] = yaw

@@ -24,8 +24,14 @@ def _copy_file(src: str, dst: str) -> None:
 
 
 def backup_codebase(backup_dir: str, repo_root: str | None = None,
-                    blocking: bool = False) -> threading.Thread:
-    """Copy the whitelisted source tree into backup_dir (threaded)."""
+                    blocking: bool = True) -> threading.Thread:
+    """Copy the whitelisted source tree into backup_dir.
+
+    Blocking by default, like the reference's synchronous backup_codebase
+    (/root/reference/utils/backup_files.py:60-63) — a fire-and-forget
+    daemon thread can be killed mid-gzip by a fast crash/exit, silently
+    truncating the very snapshot meant to make the run reproducible.
+    `blocking=False` opts back into the background copy."""
     repo_root = repo_root or os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

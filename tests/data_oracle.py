@@ -376,8 +376,9 @@ def oracle_get_gt(info, classes):
         wlh = np.asarray(ann["size"], np.float64)
         q = quat_mul(q_inv, ann["rotation"])
         yaw = quat_yaw(q)
-        velo = R_inv @ np.asarray(
-            list(ann["velocity"][:2]) + [0.0], np.float64)
+        # Box(velocity=ann['velocity']) rotates the full 3-vector
+        # (nuscenes Box.rotate: R @ velocity) before [:2]
+        velo = R_inv @ np.asarray(ann["velocity"], np.float64)
         boxes.append(np.concatenate(
             [center, wlh[[1, 0, 2]], [yaw], velo[:2]]))
         labels.append(classes.index(name))

@@ -206,6 +206,47 @@ def test_gt_matches_oracle(tmp_path):
     assert oboxes[0, 6] > 2.8  # -3.4 wrapped to ~+2.88
 
 
+def test_gt_velocity_rotates_full_3vector(tmp_path):
+    """nuscenes Box.rotate spins the FULL velocity 3-vector before [:2] is
+    taken (reference get_gt :697-707 -> Box.rotate): with pitch in the ego
+    pose, vz leaks into vx/vy. Both the pipeline and the oracle must carry
+    that term. (The reference's info generators always write
+    velocity=zeros(3) — gen_info_*.py:191/208/232 — so this is a
+    transcription-exactness case, not a real-data one.)"""
+    import math
+
+    root, info_path, infos = _write_tree(tmp_path)
+    ds = RoadSideDataset(IDA, CLASSES, root, info_path, is_train=True,
+                         max_objs=8)
+    # ego pose with yaw 0.3 AND pitch 0.2; one kept car ann with vz != 0
+    qz = _yaw_quat(0.3)
+    qy = [math.cos(0.1), 0.0, math.sin(0.1), 0.0]
+    q_ego = list(O.quat_mul(qz, qy))
+    v3 = np.array([1.0, -0.5, 2.0])
+    info = dict(infos[0])
+    info["cam_infos"] = {"CAM_FRONT": dict(
+        infos[0]["cam_infos"]["CAM_FRONT"],
+        ego_pose=dict(rotation=q_ego, translation=[1.0, 2.0, 0.0]))}
+    info["ann_infos"] = [dict(
+        category_name="vehicle.car", translation=[12.0, -3.0, 0.8],
+        size=[1.9, 4.5, 1.6], rotation=_yaw_quat(-1.0),
+        velocity=v3.tolist(), num_lidar_pts=5, num_radar_pts=0)]
+
+    # independent expectation: R = Rz(0.3) @ Ry(0.2) via axis-angle, then
+    # the inverse rotation of the full 3-vector
+    R = (geom.rodrigues(np.array([0.0, 0.0, 0.3]))
+         @ geom.rodrigues(np.array([0.0, 0.2, 0.0])))
+    want = (R.T @ v3)[:2]
+    # the truncated 2x2 formula this test exists to rule out
+    wrong = R.T[:2, :2] @ v3[:2]
+    assert not np.allclose(want, wrong, atol=1e-6)
+
+    boxes, labels = ds.get_gt(info)
+    np.testing.assert_allclose(boxes[0, 7:9], want, atol=1e-5)
+    oboxes, _ = O.oracle_get_gt(info, CLASSES)
+    np.testing.assert_allclose(oboxes[0, 7:9], want, atol=1e-9)
+
+
 def test_bev_transform_matches_oracle():
     rng = np.random.default_rng(4)
     boxes = rng.normal(0, 5, (6, 9)).astype(np.float32)

@@ -221,6 +221,8 @@ def test_parity_full_machinery_smoke(tmp_path):
         # run holds the strict zero-unmatched bars.
         assert rep["head_ok"], ctx
         assert rep["boxes"]["torch_count"] == rep["boxes"]["jax_count"], ctx
+        assert rep["boxes"]["torch_count"] > 0, ctx  # 0==0 would hide a
+        # dead decoder (and max_score_delta is None with no boxes)
         assert rep["boxes"]["max_score_delta"] < 1e-4, ctx
         assert rep["boxes"]["set_match"]["unmatched"] <= 2, ctx
         assert rep["kitti_lines"]["torch"] == rep["kitti_lines"]["jax"], ctx

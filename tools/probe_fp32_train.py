@@ -43,16 +43,19 @@ def run_arm(cfg, batch, use_bf16: bool, steps: int, log_every: int = 10):
     jb = (jnp.asarray(imgs), {k: jnp.asarray(v) for k, v in mats.items()},
           jnp.asarray(gt_boxes), jnp.asarray(gt_labels),
           jnp.asarray(gt_semantic) if gt_semantic is not None else None)
-    losses = []
+    losses, log_steps = [], []
     pending = None  # defer fetches one round so the relay round-trip overlaps
+    pending_step = None
     for i in range(steps):
         state, metrics = step_fn(state, *jb)
-        if (i + 1) % log_every == 0:
+        if (i + 1) % log_every == 0 or i + 1 == steps:
             if pending is not None:
                 losses.append(float(jax.device_get(pending)))
-            pending = metrics["total_loss"]
+                log_steps.append(pending_step)
+            pending, pending_step = metrics["total_loss"], i + 1
     losses.append(float(jax.device_get(pending)))
-    return np.asarray(losses)
+    log_steps.append(pending_step)
+    return np.asarray(losses), log_steps
 
 
 def main():
@@ -69,9 +72,9 @@ def main():
     batch = make_batch(cfg, batch=8, num_objs=4, seed=5)
 
     t0 = time.time()
-    bf16 = run_arm(cfg, batch, use_bf16=True, steps=steps)
+    bf16, log_steps = run_arm(cfg, batch, use_bf16=True, steps=steps)
     t1 = time.time()
-    fp32 = run_arm(cfg, batch, use_bf16=False, steps=steps)
+    fp32, _ = run_arm(cfg, batch, use_bf16=False, steps=steps)
     t2 = time.time()
 
     tail = max(1, len(bf16) // 2)
@@ -83,8 +86,8 @@ def main():
     print(f"rel loss delta: mean={rel.mean():.4f} "
           f"tail_mean={rel[-tail:].mean():.4f} max={rel.max():.4f}")
     print("curves (step, bf16, fp32):")
-    for i, (a, b) in enumerate(zip(bf16, fp32)):
-        print(f"  {(i + 1) * 10:4d} {a:10.4f} {b:10.4f}")
+    for s, a, b in zip(log_steps, bf16, fp32):
+        print(f"  {s:4d} {a:10.4f} {b:10.4f}")
 
 
 if __name__ == "__main__":
