@@ -371,24 +371,39 @@ def collate(samples: Sequence[dict]):
 class DataLoader:
     """Minimal batching loader with optional shuffling and drop_last, plus a
     one-batch lookahead prefetch thread (the host has few cores; heavy
-    parallelism belongs to the TPU side)."""
+    parallelism belongs to the TPU side).
+
+    `shard_id`/`num_shards` give every process of a multi-host run its own
+    round-robin slice of the (identically seeded, so identically shuffled)
+    index sequence, padded by wrapping so all shards are the same length —
+    the reference's DistributedSampler semantics (Lightning injects it,
+    SURVEY §2.9), and the exact layout `dist.interleave_shards` undoes on
+    the eval gather.
+    """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  drop_last: bool = False, seed: int = 0, prefetch: bool = True,
-                 to_device: bool = False):
+                 to_device: bool = False, shard_id: int = 0,
+                 num_shards: int = 1):
+        assert 0 <= shard_id < num_shards
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.rng = np.random.default_rng(seed)
         self.prefetch = prefetch
+        self.shard_id = shard_id
+        self.num_shards = num_shards
         # to_device: issue jax.device_put for the array fields from the
         # prefetch thread, so the (slow) host->device transfer of batch i+1
         # overlaps with the device compute of batch i. img_metas stay host.
         self.to_device = to_device
 
+    def _shard_len(self):
+        return -(-len(self.dataset) // self.num_shards)  # padded, equal
+
     def __len__(self):
-        n = len(self.dataset)
+        n = self._shard_len()
         if self.drop_last:
             return n // self.batch_size
         return -(-n // self.batch_size)
@@ -407,6 +422,10 @@ class DataLoader:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(order)
+        if self.num_shards > 1:
+            pad = self._shard_len() * self.num_shards - order.size
+            order = np.concatenate([order, order[:pad]])  # wrap-pad
+            order = order[self.shard_id::self.num_shards]
         for i in range(len(self)):
             idxs = order[i * self.batch_size:(i + 1) * self.batch_size]
             yield self._put(collate([self.dataset[int(j)] for j in idxs]))

@@ -25,7 +25,8 @@ from sgv3d_tpu.train.loop import (
 from sgv3d_tpu.train.metrics import MetricsLogger
 from sgv3d_tpu.train import profiling
 from sgv3d_tpu.train.optim import make_optimizer
-from sgv3d_tpu.train.sharding import make_mesh, shard_batch
+from sgv3d_tpu.train.sharding import (
+    host_local_state_to_global, make_mesh, process_local_rows, shard_batch)
 from sgv3d_tpu.utils.backup_files import backup_codebase
 from sgv3d_tpu.utils.pipeline import pipelined
 from sgv3d_tpu.evalkit.evaluator import RoadSideEvaluator
@@ -95,6 +96,7 @@ def train(cfg: ExpConfig, data_root: str | None = None,
         backup_codebase(os.path.join(output_dir, "backup"))
 
     n_dev = num_devices or jax.local_device_count()
+    world = dist.get_world_size()
     dataset = RoadSideDataset(
         _ida_conf(cfg), cfg.classes, data_root, info_path, is_train=True,
         return_semantic=cfg.backbone.is_bsm and cfg.is_train_height,
@@ -102,28 +104,39 @@ def train(cfg: ExpConfig, data_root: str | None = None,
     # Single-device: the prefetch thread also issues the device_put so the
     # host->device transfer of batch i+1 overlaps the compute of batch i.
     # Multi-device keeps host arrays (shard_batch places them per-shard).
+    # Multi-PROCESS (one process per pod host): each process loads only its
+    # round-robin shard (the same seed gives every process the same shuffle)
+    # and contributes batch_size_per_device x local_devices rows of the
+    # global batch; shard_batch assembles them into one global jax.Array.
     loader = DataLoader(dataset, cfg.batch_size_per_device * n_dev,
                         shuffle=True, drop_last=True, seed=seed,
-                        to_device=(n_dev == 1))
+                        to_device=(n_dev == 1 and world == 1),
+                        shard_id=dist.get_rank(), num_shards=world)
     if len(loader) == 0:
         raise ValueError(
             f"dataset ({len(dataset)} samples) smaller than the global batch "
-            f"({cfg.batch_size_per_device} x {n_dev} devices)")
+            f"({cfg.batch_size_per_device} x {n_dev} devices x {world} "
+            f"processes)")
     steps_per_epoch = max(1, len(loader))
 
-    mesh = make_mesh(n_dev)
+    mesh = make_mesh(None if world > 1 else n_dev)
     model = build_model(cfg, use_bf16=use_bf16)
     tx, schedule = make_optimizer(cfg, jax.device_count(), steps_per_epoch)
 
     sample = next(iter(DataLoader(dataset, 1, prefetch=False)))
     state = create_train_state(model, cfg, tx, (sample[0], sample[1]),
                                seed=seed)
+    # Every process builds the identical state from the same seed; promote it
+    # to globally-replicated arrays so orbax and the jit step see one logical
+    # state spanning the pod.
+    state = host_local_state_to_global(mesh, state)
     ckpt = CheckpointManager(os.path.join(output_dir, "checkpoints"))
     if resume and ckpt.latest_step() is not None:
         state = ckpt.restore(state)
         print(f"resumed from step {ckpt.latest_step()}")
-    logger = MetricsLogger(os.path.join(output_dir, "metrics.jsonl"),
-                           tensorboard_dir=os.path.join(output_dir, "tb"))
+    logger = (MetricsLogger(os.path.join(output_dir, "metrics.jsonl"),
+                            tensorboard_dir=os.path.join(output_dir, "tb"))
+              if dist.get_rank() == 0 else _NullLogger())
     train_step = make_train_step(model, cfg, tx, mesh=mesh)
 
     step = int(jax.device_get(state.step))
@@ -138,11 +151,11 @@ def train(cfg: ExpConfig, data_root: str | None = None,
                 for batch in profiling.profile_iter(prof, "data_wait", loader):
                     imgs, mats, gt_boxes, gt_labels, gt_semantic, _ = batch
                     with prof.profile("step_dispatch"):
-                        args = (jnp.asarray(imgs),
-                                {k: jnp.asarray(v) for k, v in mats.items()},
-                                jnp.asarray(gt_boxes), jnp.asarray(gt_labels),
-                                jnp.asarray(gt_semantic)
-                                if gt_semantic is not None else None)
+                        # host (or loader-prefetched device) arrays go
+                        # straight to shard_batch — it owns placement on
+                        # every path (device_put single-process, per-process
+                        # global assembly multi-process)
+                        args = (imgs, mats, gt_boxes, gt_labels, gt_semantic)
                         sharded = shard_batch(mesh, args)
                         state, metrics = train_step(state, *sharded)
                     step += 1
@@ -164,6 +177,18 @@ def train(cfg: ExpConfig, data_root: str | None = None,
         if dist.get_rank() == 0 and prof.counts:
             print(f"train profile (simple) [{cfg.name}]:\n{prof.summary()}")
     return state
+
+
+class _NullLogger:
+    """Metrics sink for non-zero ranks of a multi-process run (rank 0 owns
+    the JSONL/TensorBoard artifacts, like the reference's rank-0 Lightning
+    logger)."""
+
+    def log(self, *a, **k):
+        pass
+
+    def close(self):
+        pass
 
 
 def eval_config(cfg: ExpConfig, fast_lift: bool = False) -> ExpConfig:
@@ -208,12 +233,14 @@ def evaluate(cfg: ExpConfig, ckpt_path: str | None = None,
     cfg = eval_config(cfg, fast_lift=fast_lift)
 
     n_dev = num_devices or jax.local_device_count()
+    world = dist.get_world_size()
     dataset = RoadSideDataset(
         _ida_conf(cfg), cfg.classes, data_root, val_info, is_train=False,
         max_objs=cfg.head.max_objs, device_normalize=True)
-    loader = DataLoader(dataset, cfg.batch_size_per_device * n_dev)
+    loader = DataLoader(dataset, cfg.batch_size_per_device * n_dev,
+                        shard_id=dist.get_rank(), num_shards=world)
 
-    mesh = make_mesh(n_dev)
+    mesh = make_mesh(None if world > 1 else n_dev)
     model = BEVHeight(cfg, dtype=jnp.bfloat16 if bf16 else None,
                       head_dtype=jnp.bfloat16 if bf16_head else None)
     eval_step = make_eval_step(model, cfg, mesh=mesh)
@@ -222,15 +249,19 @@ def evaluate(cfg: ExpConfig, ckpt_path: str | None = None,
         tx, _ = make_optimizer(cfg, 1, 1)
         sample = next(iter(DataLoader(dataset, 1, prefetch=False)))
         template = create_train_state(model, cfg, tx, (sample[0], sample[1]))
+        template = host_local_state_to_global(mesh, template)
         if ckpt_path and os.path.isfile(ckpt_path):
             # flax-msgpack file (tools/convert_weights.py output)
             from flax.serialization import from_bytes
             with open(ckpt_path, "rb") as f:
                 variables = from_bytes(
-                    {"params": template.params,
-                     "batch_stats": template.batch_stats}, f.read())
-            state = template._replace(params=variables["params"],
-                                      batch_stats=variables["batch_stats"])
+                    {"params": jax.device_get(template.params),
+                     "batch_stats": jax.device_get(template.batch_stats)},
+                    f.read())
+            state = template._replace(
+                params=host_local_state_to_global(mesh, variables["params"]),
+                batch_stats=host_local_state_to_global(
+                    mesh, variables["batch_stats"]))
             return _evaluate_state(cfg, state, eval_step, loader, dataset,
                                    mesh, data_root, output_dir, max_batches,
                                    n_dev)
@@ -248,6 +279,8 @@ def evaluate(cfg: ExpConfig, ckpt_path: str | None = None,
                                       max_batches, n_dev)
             return out
         state = template
+    else:
+        state = host_local_state_to_global(mesh, state)
     return _evaluate_state(cfg, state, eval_step, loader, dataset, mesh,
                            data_root, output_dir, max_batches, n_dev)
 
@@ -255,29 +288,32 @@ def evaluate(cfg: ExpConfig, ckpt_path: str | None = None,
 def _evaluate_state(cfg: ExpConfig, state: TrainState, eval_step, loader,
                     dataset, mesh, data_root: str, output_dir: str,
                     max_batches: int | None, n_dev: int):
-    global_batch = cfg.batch_size_per_device * n_dev
+    # Rows THIS process feeds per step; the global batch is world x larger
+    # and assembled inside shard_batch under a multi-process runtime.
+    local_batch = cfg.batch_size_per_device * n_dev
     results, img_metas = [], []
 
     def dispatch(batch):
         """Enqueue one eval batch on device; returns (async dets, n, metas)."""
         imgs, mats, _, _, _, metas = batch
         n_real = imgs.shape[0]
-        if n_real < global_batch:
+        if n_real < local_batch:
             # pad the ragged final batch by repeating the last sample (the
             # DistributedSampler-padding equivalent; padding is dropped below)
-            pad = global_batch - n_real
+            pad = local_batch - n_real
             imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, 0)])
             mats = {k: np.concatenate([v, np.repeat(v[-1:], pad, 0)])
                     for k, v in mats.items()}
-        args = shard_batch(mesh, (jnp.asarray(imgs),
-                                  {k: jnp.asarray(v) for k, v in mats.items()}))
+        args = shard_batch(mesh, (imgs, mats))
         return eval_step(state.params, state.batch_stats, *args), n_real, metas
 
     def collect(dets, n_real, metas):
-        boxes = np.asarray(dets.boxes)
-        scores = np.asarray(dets.scores)
-        labels = np.asarray(dets.labels)
-        valid = np.asarray(dets.valid)
+        # process_local_rows returns exactly the rows this process dispatched
+        # (a plain fetch on a single-process run).
+        boxes = process_local_rows(dets.boxes)
+        scores = process_local_rows(dets.scores)
+        labels = process_local_rows(dets.labels)
+        valid = process_local_rows(dets.valid)
         for i in range(n_real):
             m = valid[i]
             results.append([boxes[i][m], scores[i][m], labels[i][m]])

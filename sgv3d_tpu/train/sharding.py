@@ -23,9 +23,18 @@ def make_mesh(n_devices: int | None = None, axis_name: str = "data",
     The `bev` axis spatially shards the BEV map (and thus every BEV-head
     conv, with XLA-inserted halo exchanges) — hybrid DP x SP for the big
     1408^2 grids. Pair with `bev_sharding(mesh)` on the model.
+
+    Under a multi-process runtime (`jax.distributed.initialize`, one process
+    per host of a pod slice) the mesh always spans ALL global devices —
+    slicing to a prefix would strand the other processes' chips, and every
+    process must participate in each collective anyway.
     """
     devices = jax.devices()
-    if n_devices is not None:
+    if jax.process_count() > 1:
+        assert n_devices in (None, len(devices)), (
+            f"multi-process meshes span all {len(devices)} global devices; "
+            f"got n_devices={n_devices}")
+    elif n_devices is not None:
         devices = devices[:n_devices]
     if bev_parallel > 1:
         assert len(devices) % bev_parallel == 0
@@ -59,10 +68,52 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(mesh: Mesh, batch: Mapping[str, Any] | tuple,
                 axis_name: str = "data"):
-    """Device-put a pytree of host arrays with the leading dim sharded."""
+    """Device-put a pytree of host arrays with the leading dim sharded.
+
+    Single-process: a plain `device_put` (XLA slices the host array onto the
+    local shards). Multi-process: each process passes only its LOCAL slice of
+    the global batch (its loader shard) and the slices are assembled into one
+    global jax.Array via `make_array_from_process_local_data` — no
+    host-side exchange; every chip receives only its own rows.
+    """
     sharding = batch_sharding(mesh, axis_name)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding), batch)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)), batch)
 
-    def put(x):
-        return jax.device_put(x, sharding)
 
-    return jax.tree_util.tree_map(put, batch)
+def host_local_state_to_global(mesh: Mesh, tree):
+    """Convert a process-local (replicated-by-construction) pytree — e.g. a
+    TrainState every process built identically from the same seed — into
+    globally-replicated jax.Arrays over `mesh`. No-op on a single process."""
+    if jax.process_count() == 1:
+        return tree
+    leaves = jax.tree_util.tree_leaves(tree)
+    if leaves and all(isinstance(x, jax.Array)
+                      and not x.is_fully_addressable for x in leaves):
+        return tree  # already global (e.g. a state out of train())
+    from jax.experimental import multihost_utils
+    return multihost_utils.host_local_array_to_global_array(
+        tree, mesh, jax.tree_util.tree_map(lambda _: P(), tree))
+
+
+def process_local_rows(x) -> np.ndarray:
+    """Rows of a leading-axis-sharded global array owned by THIS process, in
+    ascending global index — i.e. exactly the rows this process fed into
+    `shard_batch`, in the same order. Fully-addressable arrays pass through."""
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    shards = [s for s in x.addressable_shards]
+    shards.sort(key=lambda s: s.index[0].start or 0)
+    seen = set()
+    parts = []
+    for s in shards:  # replicated-over-other-axes shards repeat rows; dedup
+        key = (s.index[0].start, s.index[0].stop)
+        if key in seen:
+            continue
+        seen.add(key)
+        parts.append(np.asarray(s.data))
+    return np.concatenate(parts, axis=0)

@@ -216,3 +216,47 @@ def test_dataloader_to_device(tmp_path):
     assert isinstance(mats["intrin_mats"], jax.Array)
     assert isinstance(gt_boxes, jax.Array)
     assert isinstance(metas, list)
+
+
+def test_dataloader_sharding_roundtrip(tmp_path):
+    """Round-robin process shards (the reference DistributedSampler layout,
+    SURVEY §2.9) reassemble into the original order via
+    dist.interleave_shards — the runner's multi-process eval gather."""
+    from sgv3d_tpu.dist import interleave_shards
+
+    root = _make_fake_root(tmp_path, n_frames=5)
+    ds = RoadSideDataset(IDA_CONF, CLASSES, str(root),
+                         str(root / "infos_train.pkl"), is_train=False,
+                         max_objs=8)
+    full = [m["token"] for batch in DataLoader(ds, 2, prefetch=False)
+            for m in batch[5]]
+    shard_tokens = []
+    for shard_id in range(2):
+        loader = DataLoader(ds, 2, prefetch=False, shard_id=shard_id,
+                            num_shards=2)
+        # both shards pad to the same length (ceil(5/2) = 3) -> equal batches
+        assert len(loader) == 2
+        shard_tokens.append([m["token"] for b in loader for m in b[5]])
+    assert len(shard_tokens[0]) == len(shard_tokens[1]) == 3
+    # shard 0 holds samples [0, 2, 4], shard 1 holds [1, 3, wrap-pad 0]
+    assert shard_tokens[0] == [full[0], full[2], full[4]]
+    assert shard_tokens[1] == [full[1], full[3], full[0]]
+    assert interleave_shards(shard_tokens, len(ds)) == full
+
+
+def test_dataloader_sharded_shuffle_consistent(tmp_path):
+    """Same seed => every shard partitions the SAME global permutation (the
+    multi-process training contract: processes agree on the epoch order)."""
+    root = _make_fake_root(tmp_path, n_frames=4)
+    ds = RoadSideDataset(IDA_CONF, CLASSES, str(root),
+                         str(root / "infos_train.pkl"), is_train=False,
+                         max_objs=8)
+    full = [m["token"]
+            for b in DataLoader(ds, 4, shuffle=True, seed=7, prefetch=False)
+            for m in b[5]]
+    got = []
+    for shard_id in range(2):
+        loader = DataLoader(ds, 2, shuffle=True, seed=7, prefetch=False,
+                            shard_id=shard_id, num_shards=2)
+        got.append([m["token"] for b in loader for m in b[5]])
+    assert [t for pair in zip(*got) for t in pair] == full

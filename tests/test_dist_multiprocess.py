@@ -37,6 +37,131 @@ WORKER = textwrap.dedent("""
 """).replace("@REPO@", REPO)
 
 
+TRAIN_WORKER = textwrap.dedent("""
+    import os, sys
+    pid, nproc, port, work = (int(sys.argv[1]), int(sys.argv[2]),
+                              sys.argv[3], sys.argv[4])
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(f"localhost:{port}", num_processes=nproc,
+                               process_id=pid)
+    assert jax.device_count() == 2 * nproc, jax.devices()
+    sys.path.insert(0, "@REPO@")
+    import dataclasses
+    import numpy as np
+    from sgv3d_tpu import dist, runner
+    from tests.tiny_configs import tiny_exp
+
+    H_IMG, W_IMG = 216, 384
+    root = os.path.join(work, "rope3d-kitti")
+    if pid == 0:
+        from sgv3d_tpu.data.synthetic import write_fake_kitti_root
+        write_fake_kitti_root(root, n_frames=6, src_hw=(H_IMG, W_IMG))
+    dist.synchronize()
+
+    cfg = tiny_exp(is_bsm=False)
+    cfg = dataclasses.replace(
+        cfg,
+        backbone=dataclasses.replace(cfg.backbone, final_dim=(64, 96)),
+        batch_size_per_device=1, data_root=root, src_hw=(H_IMG, W_IMG))
+    out = os.path.join(work, "outputs_mp")
+    state = runner.train(cfg, data_root=root, output_dir=out, max_steps=2,
+                         ckpt_every_epochs=1, backup=False)
+    assert int(jax.device_get(state.step)) == 2
+    if pid == 0:
+        assert os.path.exists(os.path.join(out, "metrics.jsonl"))
+    res = runner.evaluate(cfg, data_root=root,
+                          output_dir=os.path.join(out, "eval_mp"),
+                          state=state)
+    if pid == 0:
+        assert res is not None and np.isfinite(res[0]), res
+        print(f"proc 0: multihost mAP={res[0]}")
+    else:
+        assert res is None  # rank-0-only evaluation, reference semantics
+    dist.synchronize()
+    print(f"proc {pid}: multihost train+eval OK")
+""").replace("@REPO@", REPO)
+
+
+def _spawn_two(script_body, tmp_path, extra_args=(), timeout=1500,
+               device_count=2):
+    worker = tmp_path / "worker.py"
+    worker.write_text(script_body)
+    with socket.socket() as s:  # free port
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PALLAS_AXON_POOL_IPS", "XLA_FLAGS")}
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={device_count}")
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(pid), "2", str(port),
+         *map(str, extra_args)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for pid in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=timeout)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+    return outs
+
+
+@pytest.mark.slow
+def test_two_process_train_eval_end_to_end(tmp_path):
+    """Full multi-host path, un-mocked: 2 jax processes x 2 CPU devices train
+    a tiny model through runner.train (sharded loader, global-batch assembly,
+    orbax multihost checkpointing) and run the distributed `-e` eval (sharded
+    val loader, per-process result collection, cross-process gather, rank-0
+    KITTI AP). Afterwards THIS process re-evaluates the saved checkpoint
+    single-process and asserts the written KITTI label files agree — which
+    fails if the loader sharding, the local-rows extraction, or the gather
+    interleave mis-pairs any detection with its frame."""
+    outs = _spawn_two(TRAIN_WORKER, tmp_path,
+                      extra_args=(str(tmp_path),))
+    assert "proc 0: multihost train+eval OK" in outs[0], outs[0]
+    assert "proc 1: multihost train+eval OK" in outs[1], outs[1]
+
+    import dataclasses
+
+    import numpy as np
+
+    from sgv3d_tpu import runner
+    from tests.tiny_configs import tiny_exp
+
+    root = str(tmp_path / "rope3d-kitti")
+    cfg = tiny_exp(is_bsm=False)
+    cfg = dataclasses.replace(
+        cfg,
+        backbone=dataclasses.replace(cfg.backbone, final_dim=(64, 96)),
+        batch_size_per_device=1, data_root=root, src_hw=(216, 384))
+    out = str(tmp_path / "outputs_mp")
+    res = runner.evaluate(cfg, data_root=root,
+                          output_dir=os.path.join(out, "eval_sp"),
+                          ckpt_path=os.path.join(out, "checkpoints"),
+                          num_devices=2)
+    assert res is not None and np.isfinite(res[0])
+
+    mp_dir = os.path.join(out, "eval_mp", "data")
+    sp_dir = os.path.join(out, "eval_sp", "data")
+    mp_files = sorted(os.listdir(mp_dir))
+    assert mp_files == sorted(os.listdir(sp_dir))
+    assert len(mp_files) == 6
+    for name in mp_files:
+        with open(os.path.join(mp_dir, name)) as f:
+            mp_lines = [ln.split() for ln in f.read().splitlines()]
+        with open(os.path.join(sp_dir, name)) as f:
+            sp_lines = [ln.split() for ln in f.read().splitlines()]
+        assert len(mp_lines) == len(sp_lines), name
+        for a, b in zip(mp_lines, sp_lines):
+            assert a[0] == b[0], (name, a, b)  # class
+            np.testing.assert_allclose(np.asarray(a[1:], np.float64),
+                                       np.asarray(b[1:], np.float64),
+                                       atol=2e-3, err_msg=name)
+
+
 @pytest.mark.slow
 def test_two_process_allgather_unmocked(tmp_path):
     worker = tmp_path / "worker.py"

@@ -303,3 +303,33 @@ def test_backup_codebase(tmp_path):
     assert not (dst / "sgv3d_tpu" / "lib.so").exists()
     assert not (dst / "sgv3d_tpu" / "__pycache__").exists()
     assert not (dst / "unrelated.txt").exists()
+
+
+def test_cli_multihost_flag(monkeypatch):
+    """--multihost calls jax.distributed.initialize BEFORE dispatch: auto
+    (no args) on TPU pods, explicit coordinator/nproc/pid elsewhere."""
+    import sys
+
+    import jax
+
+    calls = []
+    monkeypatch.setattr(
+        jax.distributed, "initialize",
+        lambda *a, **kw: calls.append((a, kw)))
+    import sgv3d_tpu.configs as configs
+    monkeypatch.setattr(configs, "get_exp",
+                        lambda name: (_ for _ in ()).throw(SystemExit))
+    import tools.train
+
+    monkeypatch.setattr(sys, "argv", [
+        "train.py", "x", "--multihost", "--coordinator", "host:1234",
+        "--nproc", "4", "--pid", "2"])
+    with pytest.raises(SystemExit):
+        tools.train.main()
+    assert calls == [(("host:1234",), dict(num_processes=4, process_id=2))]
+
+    calls.clear()
+    monkeypatch.setattr(sys, "argv", ["train.py", "x", "--multihost"])
+    with pytest.raises(SystemExit):
+        tools.train.main()
+    assert calls == [((), {})]  # pod auto-detection path

@@ -60,7 +60,32 @@ def main():
                              "(differentiable; unselected bins get zero "
                              "height gradient). Default: exact all-bin "
                              "lift, reference-parity gradients")
+    parser.add_argument("--multihost", action="store_true",
+                        help="multi-host run: call jax.distributed."
+                             "initialize() before anything touches devices. "
+                             "On TPU pod slices coordinator/process id are "
+                             "auto-detected; elsewhere pass "
+                             "--coordinator/--nproc/--pid. The reference's "
+                             "'--gpus N' DDP equivalent: launch this CLI "
+                             "once per host")
+    parser.add_argument("--coordinator", type=str, default=None,
+                        metavar="HOST:PORT",
+                        help="with --multihost: coordinator address when "
+                             "not auto-detectable (CPU/GPU clusters)")
+    parser.add_argument("--nproc", type=int, default=None,
+                        help="with --coordinator: total process count")
+    parser.add_argument("--pid", type=int, default=None,
+                        help="with --coordinator: this process's id")
     args = parser.parse_args()
+
+    if args.multihost:
+        import jax
+        if args.coordinator:
+            jax.distributed.initialize(args.coordinator,
+                                       num_processes=args.nproc,
+                                       process_id=args.pid)
+        else:
+            jax.distributed.initialize()  # TPU pod auto-detection
 
     from sgv3d_tpu.configs import get_exp
     from sgv3d_tpu import runner
