@@ -1,9 +1,12 @@
 """Benchmark: BEVHeight-r101 inference images/sec on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-The baseline is CPU PyTorch images/sec for the same compute graph, measured
-once by tools/measure_torch_baseline.py and cached in BENCH_BASELINE.json
-(driver target: >= 5x, /root/repo/BASELINE.json).
+Prints JSON lines {"metric", "value", "unit", "vs_baseline"}; the LAST line
+is the result. A fresh line is emitted after every timed iteration so a
+driver kill mid-run still leaves the latest completed measurement in the
+tail (VERDICT r4 missing #1 — round 4's single end-of-run print was killed
+before producing anything). The baseline is CPU PyTorch images/sec for the
+same compute graph, measured once by tools/measure_torch_baseline.py and
+cached in BENCH_BASELINE.json (driver target: >= 5x, /root/repo/BASELINE.json).
 """
 from __future__ import annotations
 
@@ -15,12 +18,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Batch 32 is the measured pipelined-throughput peak on v5e
-# (tools/probe_bench_overlap.py: img/s 72.2 @ bs8, 78.4 @ bs16, 78.4 @ bs24,
-# 79.7 @ bs32; head-to-head same-session bench runs r4: 78.3 @ bs16 vs
-# 80.7 @ bs32, +3%). Latency-sensitive serving should still prefer bs16 —
-# near-peak throughput at half the per-batch latency.
-BATCH = int(os.environ.get("BENCH_BATCH", "32"))
+from sgv3d_tpu.utils.budget import Budget
+
+# Driver default is batch 16 — the round-3-proven configuration (79.2 img/s
+# recorded in BENCH_r03.json). Batch 32 is the measured pipelined-throughput
+# peak (+3%: 80.7 vs 78.3 img/s, r4 head-to-head) but its larger compile +
+# minutes-long first-fetch warmup blew the round-4 driver budget
+# (BENCH_r04.json rc=124, parsed=null); quote bs32 as the tuned peak via
+# BENCH_BATCH=32, never as the driver default.
+BATCH = int(os.environ.get("BENCH_BATCH", "16"))
 # Roadside rigs are static, so the serving path caches the frustum->BEV cell
 # geometry per calibration (api.BEVHeightPredictor(static_rig=True)); the
 # bench measures that steady state by default. BENCH_STATIC_RIG=0 re-derives
@@ -47,7 +53,24 @@ ITERS = int(os.environ.get("BENCH_ITERS", "10"))
 EXP = os.environ.get("BENCH_EXP", "bevheight_dair_r101_128")
 
 
+def _emit(metric: str, ips: float, baseline: float | None):
+    vs = (ips / baseline) if baseline else None
+    print(json.dumps({
+        "metric": metric,
+        "value": round(ips, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }), flush=True)
+
+
 def main():
+    budget = Budget("BENCH_DEADLINE_S", 420.0)
+
+    def phase(msg):
+        # progress stamps so a driver kill leaves a diagnosis in the tail
+        print(f"# {budget.stamp()} {msg}", flush=True)
+
+    phase("imports done")
     from sgv3d_tpu.configs import get_exp
     from sgv3d_tpu.data.synthetic import make_batch
     from sgv3d_tpu.decode import decode
@@ -64,10 +87,27 @@ def main():
         cfg, dtype=jnp.bfloat16 if on_tpu else None,
         head_dtype=jnp.bfloat16 if (BF16_HEAD and on_tpu) else None,
         fused_convs=FUSED_CONVS and not EXACT_LIFT and on_tpu)
-    variables = model.init(
+    phase(f"exp={EXP} batch={BATCH} device={jax.devices()[0].platform}")
+    # jitted init: un-jitted flax init runs op-by-op — a relay round trip
+    # per op, ~7 min for r101 (measured r5; the round-4 driver-timeout root
+    # cause). One compiled call takes seconds.
+    variables = jax.jit(model.init, static_argnums=3)(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         jnp.asarray(imgs[:1]), {k: jnp.asarray(v[:1]) for k, v in mats.items()},
         False)
+    phase("model init done")
+
+    baseline = None
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_BASELINE.json")
+    # the cached torch-CPU baseline was measured for the default r101 graph
+    if os.path.exists(cache) and EXP == "bevheight_dair_r101_128":
+        with open(cache) as f:
+            baseline = json.load(f).get("torch_cpu_images_per_sec")
+    # keep the driver's historical metric name for the default exp
+    metric = ("bevheight_r101_infer_images_per_sec"
+              if EXP == "bevheight_dair_r101_128"
+              else f"{EXP}_infer_images_per_sec")
 
     @jax.jit
     def infer(variables, imgs, mats, cells=None):
@@ -84,43 +124,44 @@ def main():
     # Warmup / compile. NOTE: on the axon TPU relay, block_until_ready does
     # not actually synchronise — a host transfer of the output is the only
     # reliable fence, so the loop fetches the (small) scores of each batch.
+    phase("dispatching warmup 1 (compile + first fetch; can take minutes "
+          "on a cold relay path)")
     out = infer(variables, jimgs, jmats, cells)
     np.asarray(out.scores)
+    phase("warmup 1 done")
+    # Second warmup doubles as a provisional SERIAL measurement: one
+    # dispatch+fetch round trip. Pessimistic (no pipelining, carries the
+    # ~28 ms relay fetch) but it puts a real number in the tail within
+    # seconds of compile finishing.
+    t0 = time.perf_counter()
     out = infer(variables, jimgs, jmats, cells)
     np.asarray(out.scores)
+    _emit(metric, BATCH / (time.perf_counter() - t0), baseline)
 
     # Software-pipelined serving loop: dispatch batch i, then fetch batch
     # i-1's scores while i computes — the host readback overlaps the next
     # batch's compute exactly as a real serving host overlaps readback with
     # the next request, instead of billing a relay round-trip per batch.
+    # One JSON line per iteration, each covering all iterations so far.
     prev = infer(variables, jimgs, jmats, cells)
     t0 = time.perf_counter()
-    for _ in range(ITERS):
+    done = 0
+    for i in range(ITERS):
         cur = infer(variables, jimgs, jmats, cells)
         np.asarray(prev.scores)
         prev = cur
-    dt = time.perf_counter() - t0
-    np.asarray(prev.scores)
-    ips = BATCH * ITERS / dt
-
-    baseline = None
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_BASELINE.json")
-    # the cached torch-CPU baseline was measured for the default r101 graph
-    if os.path.exists(cache) and EXP == "bevheight_dair_r101_128":
-        with open(cache) as f:
-            baseline = json.load(f).get("torch_cpu_images_per_sec")
-    vs = (ips / baseline) if baseline else None
-    # keep the driver's historical metric name for the default exp
-    metric = ("bevheight_r101_infer_images_per_sec"
-              if EXP == "bevheight_dair_r101_128"
-              else f"{EXP}_infer_images_per_sec")
-    print(json.dumps({
-        "metric": metric,
-        "value": round(ips, 3),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(vs, 2) if vs else None,
-    }))
+        done = i + 1
+        # The in-flight `cur` is NOT counted: elapsed time covers exactly
+        # the `done` fetched batches (the pipelined fetch of batch i lands
+        # after batch i+1's dispatch, so boundaries line up within one
+        # ~28 ms relay trip; the final fenced line below is exact).
+        _emit(metric, BATCH * done / (time.perf_counter() - t0), baseline)
+        if budget.exceeded(margin=15.0) and done < ITERS:
+            print(f"# budget: stopping after {done}/{ITERS} iterations "
+                  f"({budget.stamp()})", flush=True)
+            break
+    np.asarray(prev.scores)  # fence the last in-flight batch
+    _emit(metric, BATCH * (done + 1) / (time.perf_counter() - t0), baseline)
 
 
 if __name__ == "__main__":

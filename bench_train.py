@@ -1,9 +1,14 @@
 """Training benchmark: SGV3D-r50 (BSM) train-step throughput on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} like
-bench.py, but for the TRAINING step — the reference's primary workload is
-8-GPU training (BASELINE.md schedules,
+Prints JSON lines {"metric", "value", "unit", "vs_baseline"} like bench.py,
+but for the TRAINING step — the reference's primary workload is 8-GPU
+training (BASELINE.md schedules,
 /root/reference/exps/sgv3d/bsm_bev_height_lss_r50_864_1536_128x128.py:523-534).
+The LAST line is the result; a provisional (serial, fetch-contaminated,
+pessimistic) line is emitted right after warmup so a driver kill mid-run
+still leaves a measurement in the tail (VERDICT r4 next #8). The timed loop
+itself fences ONCE — per-step fencing would bill a ~42 ms relay round trip
+per step as compute (CLAUDE.md perf ledger).
 
 Measures the full jitted step (forward + losses + backward + AdamW update)
 with a device-resident batch (host->device transfer through the axon relay is
@@ -25,6 +30,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from sgv3d_tpu.utils.budget import Budget
+
 BATCH = int(os.environ.get("BENCH_TRAIN_BATCH", "2"))
 ITERS = int(os.environ.get("BENCH_TRAIN_ITERS", "5"))
 EXP = os.environ.get("BENCH_TRAIN_EXP", "sgv3d_r50_128")
@@ -32,6 +39,27 @@ EXP = os.environ.get("BENCH_TRAIN_EXP", "sgv3d_r50_128")
 
 def fence(x):
     np.asarray(jax.device_get(x))
+
+
+def _emit(ms_per_step: float, iters: int, provisional: bool = False):
+    baseline = None
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_TRAIN_BASELINE.json")
+    if os.path.exists(cache):
+        with open(cache) as f:
+            baseline = json.load(f).get("ms_per_step")
+    vs = (baseline / ms_per_step) if baseline else None
+    rec = {
+        "metric": f"{EXP}_train_bs{BATCH}_images_per_sec",
+        "value": round(BATCH / ms_per_step * 1000.0, 3),
+        "unit": "images/sec/chip",
+        "ms_per_step": round(ms_per_step, 1),
+        "vs_baseline": round(vs, 3) if vs else None,
+    }
+    if provisional:
+        # serial 1-step reading incl. the relay fetch round trip
+        rec["provisional"] = True
+    print(json.dumps(rec), flush=True)
 
 
 def main():
@@ -65,39 +93,29 @@ def main():
           jnp.asarray(gt_semantic))
     fence(jb[0])  # materialise the batch on device
 
+    budget = Budget("BENCH_DEADLINE_S", 420.0)
     # Warmup/compile; the first fetch of a new output path through the axon
-    # relay can take minutes, so fence twice before timing.
-    for _ in range(2):
-        state, metrics = step(state, *jb)
-        fence(metrics["total_loss"])
+    # relay can take minutes, so fence twice before timing. The second
+    # warmup doubles as a provisional serial measurement.
+    state, metrics = step(state, *jb)
+    fence(metrics["total_loss"])
+    t0 = time.perf_counter()
+    state, metrics = step(state, *jb)
+    fence(metrics["total_loss"])
+    _emit((time.perf_counter() - t0) * 1000.0, 1, provisional=True)
 
     # Steady-state measure: the state chain (state_i feeds step i+1) forces
     # sequential execution on device, so dispatch every step and fence ONCE
     # on the final loss — a real training loop doesn't fetch metrics every
     # step, and fencing per step would bill ITERS relay round-trips as if
-    # they were compute.
+    # they were compute. If the budget runs short, measure fewer steps.
+    iters = ITERS if not budget.exceeded(margin=60.0) else max(1, ITERS // 2)
     t0 = time.perf_counter()
-    for _ in range(ITERS):
+    for _ in range(iters):
         state, metrics = step(state, *jb)
     fence(metrics["total_loss"])
     dt = time.perf_counter() - t0
-    ms_per_step = dt / ITERS * 1000.0
-    ips = BATCH * ITERS / dt
-
-    baseline = None
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_TRAIN_BASELINE.json")
-    if os.path.exists(cache):
-        with open(cache) as f:
-            baseline = json.load(f).get("ms_per_step")
-    vs = (baseline / ms_per_step) if baseline else None
-    print(json.dumps({
-        "metric": f"{EXP}_train_bs{BATCH}_images_per_sec",
-        "value": round(ips, 3),
-        "unit": "images/sec/chip",
-        "ms_per_step": round(ms_per_step, 1),
-        "vs_baseline": round(vs, 3) if vs else None,
-    }))
+    _emit(dt / iters * 1000.0, iters)
 
 
 if __name__ == "__main__":

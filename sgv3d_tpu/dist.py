@@ -32,8 +32,22 @@ def interleave_shards(gathered: List[List[Any]], total: int) -> List[Any]:
     """Undo round-robin sharding: interleave per-rank lists (rank 0 item 0,
     rank 1 item 0, ..., rank 0 item 1, ...) and truncate the padding a
     distributed sampler added to equalise shard lengths — the reference's
-    eval gather (/root/reference/exps/sgv3d/...r50...py:372-380)."""
-    return sum(map(list, zip(*gathered)), [])[:total]
+    eval gather (/root/reference/exps/sgv3d/...r50...py:372-380).
+
+    Shard-length skew fails loudly: zip() would silently drop trailing items
+    of the longer shards and mis-pair frames with detections, surfacing only
+    as mysteriously low AP (ADVICE r4)."""
+    lengths = sorted({len(g) for g in gathered})
+    if len(lengths) != 1:
+        raise ValueError(
+            f"ragged eval shards (lengths {[len(g) for g in gathered]}): "
+            "a rank mis-counted its batches; the padded distributed sampler "
+            "must give every rank the same shard length")
+    result = sum(map(list, zip(*gathered)), [])
+    if len(result) < total:
+        raise ValueError(
+            f"gathered {len(result)} results < expected total {total}")
+    return result[:total]
 
 
 def all_gather_object(obj: Any) -> List[Any]:

@@ -32,14 +32,18 @@ def create_train_state(model: BEVHeight, cfg: ExpConfig,
                        tx: optax.GradientTransformation, sample_batch,
                        seed: int = 0) -> TrainState:
     imgs, mats = sample_batch
-    variables = model.init(
+    # jit the init: un-jitted flax init executes op-by-op, which through the
+    # axon TPU relay costs a round trip PER OP (~7 minutes for the r101
+    # stack — measured r5, the round-4/5 bench.py timeout root cause); one
+    # compiled call runs in seconds.
+    variables = jax.jit(model.init, static_argnums=3)(
         {"params": jax.random.PRNGKey(seed),
          "dropout": jax.random.PRNGKey(seed + 1)},
         jnp.asarray(imgs), {k: jnp.asarray(v) for k, v in mats.items()}, True)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(jnp.zeros((), jnp.int32), params, batch_stats,
-                      tx.init(params))
+                      jax.jit(tx.init)(params))
 
 
 def make_train_step(model: BEVHeight, cfg: ExpConfig,

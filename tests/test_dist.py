@@ -20,6 +20,18 @@ def test_interleave_shards_roundrobin_and_truncation():
     assert out == ["r0_0", "r1_0", "r0_1", "r1_1", "r0_2"]
 
 
+def test_interleave_shards_rejects_ragged_and_short(pytestconfig):
+    """Shard-length skew (a rank mis-counting batches) must fail loudly, not
+    silently drop the longer shards' tails and mis-pair frames with
+    detections (ADVICE r4)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="ragged eval shards"):
+        dist.interleave_shards([["a0", "a1"], ["b0"]], total=3)
+    with pytest.raises(ValueError, match="< expected total"):
+        dist.interleave_shards([["a0"], ["b0"]], total=5)
+
+
 def test_all_gather_object_multihost_pad_exchange(monkeypatch):
     """Exercise the pickle/pad/allgather logic with a mocked 3-process
     multihost backend carrying payloads of different sizes."""

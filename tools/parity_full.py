@@ -120,8 +120,15 @@ def parity_cfg(exp_name: str, final_dim=None):
     return dataclasses.replace(cfg, backbone=backbone, is_train_height=False)
 
 
+# The 128^2 headline families hold the strict all-boxes/all-lines bars and
+# must KEEP holding them: without this the tie-aware fallback (built for the
+# large-grid variants' tie cascades) could silently absorb a genuine
+# numerics regression on the headline configs (ADVICE r4).
+HEADLINE_STRICT = {"bevheight_dair_r101_128", "sgv3d_r50_128"}
+
+
 def run_family(exp_name: str, tmp_dir: str, seed: int = 3, final_dim=None,
-               gain: float = 1.0):
+               gain: float = 1.0, expect_strict: bool = False):
     cfg = parity_cfg(exp_name, final_dim=final_dim)
     is_bsm = cfg.backbone.is_bsm
     report = {"exp": exp_name, "is_bsm": is_bsm,
@@ -311,6 +318,11 @@ def run_family(exp_name: str, tmp_dir: str, seed: int = 3, final_dim=None,
                              "untied_match": untied_lines,
                              "strict": bool(strict_lines)}
 
+    if expect_strict:
+        # headline families: the tie-aware fallback is NOT accepted
+        report["expect_strict"] = True
+        boxes_ok = bool(strict)
+        lines_ok = bool(strict_lines)
     report["head_ok"] = bool(head_ok)
     report["boxes_ok"] = bool(boxes_ok)
     report["lines_ok"] = bool(lines_ok)
@@ -462,7 +474,8 @@ def main():
         for exp in args.exps:
             print(f"=== {exp} ===", flush=True)
             rep = run_family(exp, tmp, seed=args.seed,
-                             final_dim=args.final_dim, gain=args.gain)
+                             final_dim=args.final_dim, gain=args.gain,
+                             expect_strict=exp in HEADLINE_STRICT)
             print(json.dumps({k: rep[k] for k in
                               ("exp", "ok", "head_ok", "boxes_ok", "lines_ok",
                                "head_max_rel_delta", "boxes", "kitti_lines",

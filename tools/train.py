@@ -78,6 +78,12 @@ def main():
                         help="with --coordinator: this process's id")
     args = parser.parse_args()
 
+    # jax.distributed.initialize(addr, num_processes=None, process_id=None)
+    # fails opaquely deep in the coordination service; surface a usage error
+    # instead (ADVICE r4).
+    if args.coordinator and (args.nproc is None or args.pid is None):
+        parser.error("--coordinator requires both --nproc and --pid")
+
     if args.multihost:
         import jax
         if args.coordinator:
