@@ -71,7 +71,8 @@ def family_latency(exp: str, batches, floor_ms: float):
 
     cfg = get_exp(exp)
     imgs1, mats1, *_ = make_batch(cfg, batch=1, num_objs=8)
-    variables = BEVHeight(cfg).init(
+    # jitted: un-jitted init is a relay round trip PER OP (minutes at r101)
+    variables = jax.jit(BEVHeight(cfg).init, static_argnums=3)(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         jnp.asarray(imgs1), {k: jnp.asarray(v) for k, v in mats1.items()},
         False)
