@@ -36,6 +36,7 @@ def _run_main(monkeypatch, module_name, env, tiny_kwargs):
     return json.loads(line)
 
 
+@pytest.mark.slow  # 58 s on the 1-core host
 def test_bench_infer_wiring(monkeypatch):
     rec = _run_main(
         monkeypatch, "bench",

@@ -2,6 +2,7 @@
 1408^2 Rope3D variant, SURVEY §5 'long context' note) — XLA inserts the conv
 halo exchanges automatically; output must match the unsharded run."""
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -33,6 +34,7 @@ def test_head_on_spatially_sharded_bev(rng):
                 rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow  # 223 s on the 1-core host
 def test_hybrid_dp_sp_train_step_matches_dp(rng):
     """One train step on a hybrid (data=2, bev=2) mesh — batch sharded over
     `data`, BEV map spatially sharded over `bev` (halo exchanges in the head

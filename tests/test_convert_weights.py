@@ -218,6 +218,7 @@ def test_full_bsm_mapping_coverage():
         assert key in sd, key
 
 
+@pytest.mark.slow  # 58 s on the 1-core host
 def test_msgpack_variables_round_trip(tmp_path):
     """Converter-format msgpack files load back through api.load_variables
     and produce identical predictions."""

@@ -2,6 +2,7 @@
 feature the reference lacks (its CUDA atomicAdd float order is run-dependent,
 /root/reference/ops/voxel_pooling/src/voxel_pooling_forward_cuda.cu:31)."""
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -23,6 +24,7 @@ def test_lift_splat_bitwise_deterministic(rng):
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow  # 171 s on the 1-core host
 def test_train_step_bitwise_deterministic():
     cfg = tiny_exp(is_bsm=False)
     imgs, mats, gt_boxes, gt_labels, _ = make_batch(cfg, batch=2, num_objs=3)

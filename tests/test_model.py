@@ -42,7 +42,9 @@ def test_forward_shapes(is_bsm):
             assert np.all(np.isfinite(np.asarray(v)))
 
 
-@pytest.mark.parametrize("is_bsm", [False, True])
+@pytest.mark.parametrize("is_bsm", [
+    pytest.param(False, marks=pytest.mark.slow),  # 59 s; BSM variant (20 s)
+    True])  # stays in the fast lane for train-grads coverage
 def test_train_loss_and_grads(is_bsm):
     cfg = tiny_exp(is_bsm)
     imgs, mats, gt_boxes, gt_labels, gt_semantic = make_batch(

@@ -73,6 +73,7 @@ def test_trace_writes_tensorboard_trace(tmp_path):
     assert found, "trace() produced no profile files"
 
 
+@pytest.mark.slow  # 125 s on the 1-core host
 def test_runner_train_prints_simple_profile(tmp_path, capsys):
     """runner.train carries the reference's default-on 'simple' profiler:
     a per-section summary (data wait / dispatch / log / ckpt) at exit, and

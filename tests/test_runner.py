@@ -58,6 +58,7 @@ def test_train_resume_evaluate(tmp_path):
     assert np.isfinite(mAP)
 
 
+@pytest.mark.slow  # 52 s on the 1-core host
 def test_evaluate_from_msgpack_file(tmp_path):
     """-e accepts a converter-format msgpack FILE as --ckpt_path."""
     import jax
