@@ -53,14 +53,20 @@ ITERS = int(os.environ.get("BENCH_ITERS", "10"))
 EXP = os.environ.get("BENCH_EXP", "bevheight_dair_r101_128")
 
 
-def _emit(metric: str, ips: float, baseline: float | None):
+def _emit(metric: str, ips: float, baseline: float | None,
+          provisional: bool = False):
     vs = (ips / baseline) if baseline else None
-    print(json.dumps({
+    rec = {
         "metric": metric,
         "value": round(ips, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs, 2) if vs else None,
-    }), flush=True)
+    }
+    if provisional:
+        # serial dispatch+fetch reading: carries the ~28 ms relay round trip,
+        # well below the pipelined steady state (bench_train.py convention)
+        rec["provisional"] = True
+    print(json.dumps(rec), flush=True)
 
 
 def main():
@@ -136,7 +142,8 @@ def main():
     t0 = time.perf_counter()
     out = infer(variables, jimgs, jmats, cells)
     np.asarray(out.scores)
-    _emit(metric, BATCH / (time.perf_counter() - t0), baseline)
+    _emit(metric, BATCH / (time.perf_counter() - t0), baseline,
+          provisional=True)
 
     # Software-pipelined serving loop: dispatch batch i, then fetch batch
     # i-1's scores while i computes — the host readback overlaps the next

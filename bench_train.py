@@ -54,6 +54,7 @@ def _emit(ms_per_step: float, iters: int, provisional: bool = False):
         "value": round(BATCH / ms_per_step * 1000.0, 3),
         "unit": "images/sec/chip",
         "ms_per_step": round(ms_per_step, 1),
+        "iters": iters,  # how many steps the figure averages
         "vs_baseline": round(vs, 3) if vs else None,
     }
     if provisional:
@@ -93,7 +94,10 @@ def main():
           jnp.asarray(gt_semantic))
     fence(jb[0])  # materialise the batch on device
 
-    budget = Budget("BENCH_DEADLINE_S", 420.0)
+    # Not a driver entry point (the driver runs bench.py only), so the
+    # default is sized for a hand/judge run: the budget is anchored at
+    # process start and the TPU jax import alone costs ~2 min.
+    budget = Budget("BENCH_TRAIN_DEADLINE_S", 900.0)
     # Warmup/compile; the first fetch of a new output path through the axon
     # relay can take minutes, so fence twice before timing. The second
     # warmup doubles as a provisional serial measurement.
@@ -102,14 +106,23 @@ def main():
     t0 = time.perf_counter()
     state, metrics = step(state, *jb)
     fence(metrics["total_loss"])
-    _emit((time.perf_counter() - t0) * 1000.0, 1, provisional=True)
+    serial_s = time.perf_counter() - t0
+    _emit(serial_s * 1000.0, 1, provisional=True)
 
     # Steady-state measure: the state chain (state_i feeds step i+1) forces
     # sequential execution on device, so dispatch every step and fence ONCE
     # on the final loss — a real training loop doesn't fetch metrics every
     # step, and fencing per step would bill ITERS relay round-trips as if
-    # they were compute. If the budget runs short, measure fewer steps.
-    iters = ITERS if not budget.exceeded(margin=60.0) else max(1, ITERS // 2)
+    # they were compute. Fit the loop to the measured per-step cost (the
+    # serial reading just taken is a pessimistic upper bound per step, so
+    # remaining/serial_s steps always fit; code review r5): a blind halving
+    # could still overrun under relay/CPU contention (CLAUDE.md landmine 7).
+    affordable = int(max(0.0, budget.remaining() - 30.0) / max(serial_s, 1e-3))
+    iters = max(1, min(ITERS, affordable))
+    if iters < ITERS:
+        print(f"# budget: measuring {iters}/{ITERS} steps "
+              f"(remaining {budget.remaining():.0f}s, "
+              f"serial step {serial_s:.1f}s)", flush=True)
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = step(state, *jb)

@@ -17,16 +17,45 @@ import os
 import time
 
 
+def _process_start_monotonic() -> float:
+    """`time.monotonic()` value at which THIS PROCESS started (Linux).
+
+    A driver kill timer spans the whole process, including the multi-minute
+    module-level `import jax` (TPU relay registration) that runs BEFORE any
+    Budget can be constructed — anchoring at construction time would blind
+    the guard to exactly the cost that caused the round-4 rc=124 kills.
+    /proc/self/stat field 22 is the process start in clock ticks since boot;
+    CLOCK_MONOTONIC (= time.monotonic() on Linux) shares that boot epoch
+    with /proc/uptime. Falls back to "now" where /proc is unavailable.
+    """
+    try:
+        with open("/proc/self/stat") as f:
+            stat = f.read()
+        # comm (field 2) may contain spaces/parens; split after the last ')'
+        start_ticks = float(stat.rsplit(")", 1)[1].split()[19])
+        with open("/proc/uptime") as f:
+            uptime_s = float(f.read().split()[0])
+        age_s = uptime_s - start_ticks / os.sysconf("SC_CLK_TCK")
+        return time.monotonic() - max(0.0, age_s)
+    except Exception:
+        return time.monotonic()
+
+
 class Budget:
-    """Monotonic wall-clock budget with an env-configurable deadline.
+    """Monotonic wall-clock budget with an env-configurable deadline,
+    anchored at PROCESS start (not construction) so module-level import
+    cost counts against the budget exactly as it counts against an
+    external kill timer.
 
     >>> b = Budget("BENCH_DEADLINE_S", 420.0)
     >>> if b.exceeded(margin=30.0):  # < 30 s left: stop starting new work
     ...     pass
     """
 
-    def __init__(self, env: str, default_s: float):
-        self.t0 = time.monotonic()
+    def __init__(self, env: str, default_s: float,
+                 since_process_start: bool = True):
+        self.t0 = (_process_start_monotonic() if since_process_start
+                   else time.monotonic())
         self.limit = float(os.environ.get(env, default_s))
 
     def elapsed(self) -> float:

@@ -94,11 +94,6 @@ def _task_of(label, ncs):
     raise ValueError(label)
 
 
-def _per_task_slices(dets_flat, t_n, pm):
-    """Split a flat task-major (T*pm, ...) detection layout per task."""
-    return [slice(ti * pm, (ti + 1) * pm) for ti in range(t_n)]
-
-
 def _explain_missing(box, score, label, cfg, cand_by_task, other_name):
     """Attribute why (box, score, label) from one framework has no match in
     the other framework's kept set, using that framework's PRE-NMS
@@ -113,7 +108,10 @@ def _explain_missing(box, score, label, cfg, cand_by_task, other_name):
     vec = np.concatenate([box, [score]])
     if len(same) == 0:
         rec["mechanism"] = "topk_cut"
-        rec["margin_to_cut"] = float(score) - float(cands["scores"][-1])
+        # the candidate set can be entirely empty for a task (all decode
+        # rows invalid); there is then no cut score to measure a margin to
+        if len(cands["scores"]):
+            rec["margin_to_cut"] = float(score) - float(cands["scores"][-1])
         rec["evidence"] = f"no same-label candidate in {other_name} pre-NMS"
         return rec
     vals = np.concatenate([cands["boxes"][same],
