@@ -32,6 +32,12 @@ BATCH = int(os.environ.get("BENCH_BATCH", "16"))
 # bench measures that steady state by default. BENCH_STATIC_RIG=0 re-derives
 # geometry in-graph every batch instead.
 STATIC_RIG = os.environ.get("BENCH_STATIC_RIG", "1") == "1"
+# Static-rig pixel culling (the api serving default): statically drop pixels
+# whose whole height ray is outside the BEV grid before the row-bound
+# top-k + scatter (ops.voxel_pooling.cull_static_cells; identical top-k
+# selection, BEV differs only by fp32 scatter summation order <= 1.2e-6 —
+# tools/probe_pixel_cull.py). BENCH_CULL=0 disables.
+CULL = os.environ.get("BENCH_CULL", "1") == "1"
 # BENCH_EXACT_LIFT=1 measures the parity-grade exact all-bin lift (the `-e`
 # evaluation default) instead of the exp's top-k deploy lift.
 EXACT_LIFT = os.environ.get("BENCH_EXACT_LIFT", "0") == "1"
@@ -116,23 +122,43 @@ def main():
               else f"{EXP}_infer_images_per_sec")
 
     @jax.jit
-    def infer(variables, imgs, mats, cells=None):
-        preds, _ = model.apply(variables, imgs, mats, False, cells=cells)
+    def infer(variables, imgs, mats, cells=None, pix_keep=None):
+        preds, _ = model.apply(variables, imgs, mats, False, cells=cells,
+                               pix_keep=pix_keep)
         return decode(cfg.head, preds)
 
     jimgs = jnp.asarray(imgs)
     jmats = {k: jnp.asarray(v) for k, v in mats.items()}
-    cells = None
+    cells, pix_keep = None, None
     if STATIC_RIG:
         from sgv3d_tpu.nn.lss_fpn import compute_lift_cells
+        phase("computing static-rig cells")
         cells = jax.jit(
             lambda m: compute_lift_cells(cfg.backbone, m))(jmats)
+        if CULL and cfg.backbone.lift_top_k is not None and not EXACT_LIFT:
+            from sgv3d_tpu.ops.voxel_pooling import (
+                apply_pixel_cull, cull_pixel_indices)
+            from sgv3d_tpu.utils.host_compute import host_valid_pixels
+            grid = cfg.backbone.voxel_grid
+            nc = int(grid.voxel_num[0]) * int(grid.voxel_num[1])
+            # validity mask computed on the HOST CPU jax backend from the
+            # host-side mats — a device->host fetch of anything (even HW
+            # bools) through the relay can cost minutes (measured r5)
+            valid = host_valid_pixels(cfg.backbone, mats)
+            out_c = cull_pixel_indices(valid) if valid is not None else None
+            if out_c is not None:
+                pix_np, n_valid = out_c
+                pix_keep = jnp.asarray(pix_np)
+                cells = jax.jit(apply_pixel_cull, static_argnums=(2, 3))(
+                    cells, pix_keep, n_valid, nc)
+                phase(f"static pixel cull: {len(pix_np)}/{len(valid)} px "
+                      f"kept (bucketed; {n_valid} valid)")
     # Warmup / compile. NOTE: on the axon TPU relay, block_until_ready does
     # not actually synchronise — a host transfer of the output is the only
     # reliable fence, so the loop fetches the (small) scores of each batch.
     phase("dispatching warmup 1 (compile + first fetch; can take minutes "
           "on a cold relay path)")
-    out = infer(variables, jimgs, jmats, cells)
+    out = infer(variables, jimgs, jmats, cells, pix_keep)
     np.asarray(out.scores)
     phase("warmup 1 done")
     # Second warmup doubles as a provisional SERIAL measurement: one
@@ -140,7 +166,7 @@ def main():
     # ~28 ms relay fetch) but it puts a real number in the tail within
     # seconds of compile finishing.
     t0 = time.perf_counter()
-    out = infer(variables, jimgs, jmats, cells)
+    out = infer(variables, jimgs, jmats, cells, pix_keep)
     np.asarray(out.scores)
     _emit(metric, BATCH / (time.perf_counter() - t0), baseline,
           provisional=True)
@@ -150,11 +176,11 @@ def main():
     # batch's compute exactly as a real serving host overlaps readback with
     # the next request, instead of billing a relay round-trip per batch.
     # One JSON line per iteration, each covering all iterations so far.
-    prev = infer(variables, jimgs, jmats, cells)
+    prev = infer(variables, jimgs, jmats, cells, pix_keep)
     t0 = time.perf_counter()
     done = 0
     for i in range(ITERS):
-        cur = infer(variables, jimgs, jmats, cells)
+        cur = infer(variables, jimgs, jmats, cells, pix_keep)
         np.asarray(prev.scores)
         prev = cur
         done = i + 1

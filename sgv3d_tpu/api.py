@@ -34,7 +34,8 @@ class BEVHeightPredictor:
     def __init__(self, cfg: ExpConfig, variables: Mapping[str, Any],
                  use_bf16: bool = True, static_rig: bool = True,
                  bf16_head: bool = False, mesh=None,
-                 fused_convs: bool | None = None):
+                 fused_convs: bool | None = None,
+                 cull_pixels: bool | None = None):
         """`bf16_head` additionally runs the BEV head's convs in bf16
         (fp32 outputs) — a serving approximation beyond the reference's
         autocast guards (which pin the head fp32), so it is opt-in.
@@ -74,17 +75,37 @@ class BEVHeightPredictor:
             fused_convs=fused_convs)
         self.variables = variables
         self.static_rig = static_rig
-        self._cells = None
+        # Static-rig pixel culling (ops.voxel_pooling.cull_static_cells):
+        # statically drop pixels whose whole height ray is outside the BEV
+        # grid before the row-bound top-k + scatter (+2.2% e2e img/s on
+        # r101/v5e, PIXEL_CULL.json). Identical top-k selection; the BEV map
+        # differs only by fp32 scatter summation order (<=1.7e-6, probed
+        # on-chip — tools/probe_pixel_cull.py). Only meaningful with the
+        # per-rig cell cache + top-k lift; off under a mesh (the sharded
+        # cells/gather layout is untested there). Each NEW rig recomputes
+        # the validity mask on the host CPU backend (~1 s of pure geometry,
+        # utils/host_compute.py — deliberately NO device->host fetch);
+        # long-lived per-rig serving amortises it, set cull_pixels=False
+        # for rapidly-changing calibrations.
+        if cull_pixels is None:
+            cull_pixels = (static_rig and cfg.backbone.lift_top_k is not None)
+        if self.mesh is not None:
+            cull_pixels = False  # unsupported under a mesh, see above
+        self.cull_pixels = cull_pixels
+        self._cells = None          # (cells, pix_keep or None) once cached
         self._cells_key = None
 
-        def _infer(variables, imgs, mats, cells=None):
+        def _infer(variables, imgs, mats, cells=None, pix_keep=None):
             preds, _ = self.model.apply(variables, imgs, mats, False,
-                                        cells=cells)
+                                        cells=cells, pix_keep=pix_keep)
             return decode(cfg.head, preds)
 
         def _cells_fn(mats):
             from sgv3d_tpu.nn.lss_fpn import compute_lift_cells
             return compute_lift_cells(cfg.backbone, mats)
+
+        grid = cfg.backbone.voxel_grid
+        self._num_cells = int(grid.voxel_num[0]) * int(grid.voxel_num[1])
 
         if self.mesh is None:
             self._infer = jax.jit(_infer)
@@ -97,7 +118,9 @@ class BEVHeightPredictor:
             # mismatched and silently re-replicates the whole thing across
             # the mesh on EVERY call (hundreds of MB per batch for r101).
             self.variables = jax.device_put(variables, rep)
-            self._infer = jax.jit(_infer, in_shardings=(rep, bs, bs, bs),
+            # pix_keep is always None under a mesh (culling is off there);
+            # a None argument has no array leaves, so any sharding entry fits
+            self._infer = jax.jit(_infer, in_shardings=(rep, bs, bs, bs, rep),
                                   out_shardings=bs)
             self._cells_fn = jax.jit(_cells_fn, in_shardings=(bs,),
                                      out_shardings=bs)
@@ -113,7 +136,26 @@ class BEVHeightPredictor:
                       "ida_mats", "reference_heights", "bda_mat")
             if k in host_mats)
         if key != self._cells_key:
-            self._cells = self._cells_fn(jmats)
+            cells = self._cells_fn(jmats)
+            pix = None
+            if self.cull_pixels:
+                from sgv3d_tpu.ops.voxel_pooling import (
+                    apply_pixel_cull, cull_pixel_indices)
+                from sgv3d_tpu.utils.host_compute import host_valid_pixels
+                # The validity mask is computed on the HOST CPU backend from
+                # the host-side mats (pure geometry, conservative 1-voxel
+                # margin): a device->host fetch of anything through a TPU
+                # relay can cost minutes on a cold path. Once per rig; the
+                # lift still consumes the DEVICE-computed cells for every
+                # kept pixel.
+                valid = host_valid_pixels(self.cfg.backbone, host_mats)
+                out = cull_pixel_indices(valid) if valid is not None else None
+                if out is not None:
+                    pix_np, n_valid = out
+                    pix = jnp.asarray(pix_np)
+                    cells = jax.jit(apply_pixel_cull, static_argnums=(2, 3))(
+                        cells, pix, n_valid, self._num_cells)
+            self._cells = (cells, pix)
             self._cells_key = key
         return self._cells
 
@@ -132,9 +174,9 @@ class BEVHeightPredictor:
         else:
             imgs = jnp.asarray(imgs)
             jmats = {k: jnp.asarray(v) for k, v in mats_dict.items()}
-        cells = (self._rig_cells(mats_dict, jmats) if self.static_rig
-                 else None)
-        return self._infer(self.variables, imgs, jmats, cells)
+        cells, pix_keep = (self._rig_cells(mats_dict, jmats)
+                           if self.static_rig else (None, None))
+        return self._infer(self.variables, imgs, jmats, cells, pix_keep)
 
     @staticmethod
     def _collect(dets) -> List[list]:

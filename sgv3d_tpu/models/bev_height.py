@@ -59,20 +59,22 @@ class BEVHeight(nn.Module):
 
     @nn.compact
     def __call__(self, sweep_imgs, mats: Mapping[str, Any], train: bool = False,
-                 cells=None):
+                 cells=None, pix_keep=None):
         """Returns (task_preds, aux) where aux is the backbone's auxiliary
         output pair (assist features for LSSFPN, semantic logits for BSM).
 
         `sweep_imgs` may be normalized fp32 or raw uint8 (normalized
         on-device, see `normalize_images`). `cells`: optional precomputed
-        `nn.lss_fpn.compute_lift_cells` (static-rig fast path)."""
+        `nn.lss_fpn.compute_lift_cells` (static-rig fast path); `pix_keep`:
+        optional static pixel-culling indices paired with culled `cells`
+        (`ops.voxel_pooling.cull_static_cells`)."""
         sweep_imgs = normalize_images(sweep_imgs, self.cfg)
         backbone_cls = BSMLSSFPN if self.cfg.backbone.is_bsm else LSSFPN
         backbone = backbone_cls(self.cfg.backbone, dtype=self.dtype,
                                 fused_convs=self.fused_convs, name="backbone")
         head = BEVHeightHead(self.cfg.head, dtype=self.head_dtype,
                              name="head")
-        bev, aux = backbone(sweep_imgs, mats, train, cells)
+        bev, aux = backbone(sweep_imgs, mats, train, cells, pix_keep)
         if self.bev_sharding is not None:
             bev = jax.lax.with_sharding_constraint(bev, self.bev_sharding)
         preds = head(bev, train)

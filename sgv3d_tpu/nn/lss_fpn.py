@@ -72,8 +72,46 @@ def compute_lift_cells(cfg: BackboneConfig, mats, sweep: int = 0,
     return cell
 
 
+def compute_valid_pixels(cfg: BackboneConfig, mats, sweep: int = 0,
+                         margin: int = 1) -> jnp.ndarray:
+    """(BN, HW) bool: pixel has ANY height bin whose voxel coordinate lies
+    within the BEV grid expanded by `margin` voxels on every axis.
+
+    Drives the static-rig pixel cull (`ops.voxel_pooling.cull_pixel_indices`).
+    Designed to run on the HOST CPU jax backend from host-side mats — pure
+    geometry, no device round trip (fetching anything off a TPU relay can
+    cost minutes, CLAUDE.md landmine 1). The margin makes the decision
+    conservative across backends: a pixel is culled only when every bin
+    misses the grid by more than `margin` voxels, so fp32 rounding skew
+    between the CPU decision and the TPU lift cells cannot cull a pixel the
+    TPU would keep (both sides force float32 matmul precision; skew is ULPs,
+    the margin is a whole voxel).
+    """
+    b = mats["sensor2ego_mats"].shape[0]
+    n = mats["sensor2ego_mats"].shape[2]
+    grid = cfg.voxel_grid
+    frustum = jnp.asarray(
+        geom.make_frustum(cfg.final_dim, cfg.effective_downsample, cfg.d_bound))
+    frustum = frustum.transpose(1, 2, 0, 3)                # (fH, fW, D, 4)
+    points = geom.get_geometry(
+        frustum,
+        mats["sensor2ego_mats"][:, sweep],
+        mats["sensor2virtual_mats"][:, sweep],
+        mats["intrin_mats"][:, sweep],
+        mats["ida_mats"][:, sweep],
+        mats["reference_heights"][:, sweep],
+        mats.get("bda_mat"),
+    )
+    vox = geom.geometry_to_voxel(points, grid)             # (..., fH, fW, D, 3)
+    nums = jnp.asarray(
+        [int(grid.voxel_num[0]), int(grid.voxel_num[1]), int(grid.voxel_num[2])],
+        jnp.int32)
+    ok = ((vox >= -margin) & (vox < nums + margin)).all(axis=-1)
+    return ok.any(axis=-1).reshape(b * n, -1)              # (BN, fH*fW)
+
+
 def _lift_and_splat(cfg: BackboneConfig, height_prob, tran_feat, mats, sweep,
-                    train: bool = False, cells=None):
+                    train: bool = False, cells=None, pix_keep=None):
     """Shared geometry + fused pooling. height_prob (BN, fH, fW, D),
     tran_feat (BN, fH, fW, C) -> (B, Y, X, C) fp32.
 
@@ -84,7 +122,10 @@ def _lift_and_splat(cfg: BackboneConfig, height_prob, tran_feat, mats, sweep,
     `cfg.train_lift_top_k` opts into a top-k training lift (differentiable
     via lax.top_k — unselected bins get zero height gradient). `cells`
     (optional) is a precomputed `compute_lift_cells` result (static-rig
-    fast path)."""
+    fast path). `pix_keep` (optional, top-k path only, requires `cells`
+    already culled by `ops.voxel_pooling.cull_static_cells`) statically
+    drops fully-out-of-grid pixels before the row-bound top-k + scatter —
+    bit-identical output, measured on-chip (tools/probe_pixel_cull.py)."""
     b = mats["sensor2ego_mats"].shape[0]
     n = mats["sensor2ego_mats"].shape[2]
     f_h, f_w = cfg.feat_hw
@@ -93,6 +134,8 @@ def _lift_and_splat(cfg: BackboneConfig, height_prob, tran_feat, mats, sweep,
     num_y, num_x = int(grid.voxel_num[1]), int(grid.voxel_num[0])
 
     k = _lift_k(cfg, train)
+    if pix_keep is not None and k is None:
+        raise ValueError("pixel culling applies to the top-k lift only")
     cell = cells if cells is not None else compute_lift_cells(
         cfg, mats, sweep, train)
 
@@ -100,6 +143,13 @@ def _lift_and_splat(cfg: BackboneConfig, height_prob, tran_feat, mats, sweep,
     if k is not None:
         from sgv3d_tpu.ops.voxel_pooling import topk_lift_inputs_hwd
         hp_hwd = height_prob.astype(jnp.float32).reshape(b * n, f_h * f_w, d)
+        if pix_keep is not None:
+            # static-rig pixel culling: `cell` is already the culled
+            # (BN, HWv, D) array; gather the per-frame rows to match
+            if cells is None:
+                raise ValueError("pix_keep requires precomputed culled cells")
+            hp_hwd = jnp.take(hp_hwd, pix_keep, axis=1)
+            ctx = jnp.take(ctx, pix_keep, axis=1)
         # Training needs the differentiable lax.top_k (the Pallas kernel is
         # forward-only); eval keeps the "auto" kernel choice.
         hp, cell = topk_lift_inputs_hwd(hp_hwd, cell, k,
@@ -122,11 +172,13 @@ class LSSFPN(nn.Module):
 
     @nn.compact
     def __call__(self, sweep_imgs, mats: Mapping[str, Any], train: bool,
-                 cells=None):
+                 cells=None, pix_keep=None):
         """sweep_imgs: (B, S, N, H, W, 3). Returns bev (B, Y, X, C) fp32 and,
         in train-height mode, the (assist, assist) aux features pair.
         `cells`: optional precomputed `compute_lift_cells` for the key sweep
-        (static-rig fast path; past sweeps always recompute)."""
+        (static-rig fast path; past sweeps always recompute). `pix_keep`:
+        optional static pixel-culling indices paired with culled `cells`
+        (see `_lift_and_splat`)."""
         cfg = self.cfg
         b, s, n = sweep_imgs.shape[:3]
         resnet_cls = (nn.remat(ResNet, static_argnums=(2,))
@@ -155,7 +207,8 @@ class LSSFPN(nn.Module):
             h_logits, context = height_net(feat, mlp_input, train)
             height = jax.nn.softmax(h_logits.astype(jnp.float32), axis=-1)
             bev = _lift_and_splat(cfg, height, context, mats, sweep, train,
-                                  cells if sweep == 0 else None)
+                                  cells if sweep == 0 else None,
+                                  pix_keep if sweep == 0 else None)
             return bev, assist
 
         bev, assist = single_sweep(0)
@@ -176,9 +229,11 @@ class BSMLSSFPN(nn.Module):
 
     @nn.compact
     def __call__(self, sweep_imgs, mats: Mapping[str, Any], train: bool,
-                 cells=None):
+                 cells=None, pix_keep=None):
         """Returns bev (B, Y, X, C+S) fp32 and (semantic0, semantic1) logits.
-        `cells`: optional precomputed `compute_lift_cells` (key sweep only)."""
+        `cells`: optional precomputed `compute_lift_cells` (key sweep only);
+        `pix_keep`: optional static pixel-culling indices paired with culled
+        `cells` (see `_lift_and_splat`)."""
         cfg = self.cfg
         b, s, n = sweep_imgs.shape[:3]
         resnet_cls = (nn.remat(ResNet, static_argnums=(2,))
@@ -217,7 +272,8 @@ class BSMLSSFPN(nn.Module):
             keep = (semantic[..., 0:1] <= self.bg_threshold).astype(jnp.float32)
             tran_feat = tran_feat * keep
             bev = _lift_and_splat(cfg, height, tran_feat, mats, sweep, train,
-                                  cells if sweep == 0 else None)
+                                  cells if sweep == 0 else None,
+                                  pix_keep if sweep == 0 else None)
             return bev, (semantic0, semantic1)
 
         bev, aux = single_sweep(0)

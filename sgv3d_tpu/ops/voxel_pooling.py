@@ -182,6 +182,83 @@ def _lift_splat_bwd(batch, num_cells, d_chunk, residuals, g):
 lift_splat_pool.defvjp(_lift_splat_fwd, _lift_splat_bwd)
 
 
+def cull_pixel_indices(valid_pix_np, bucket: int = 512,
+                       min_trash_frac: float = 0.05):
+    """Host-side index selection for static-rig pixel culling.
+
+    valid_pix_np: (HW,) bool — pixel has ANY in-grid cell in ANY camera
+    (the batch union; compute it on device and fetch just these HW bools —
+    fetching the full (BN, HW, D) cells through a TPU relay costs minutes
+    at BSM scale). Returns (pix_keep (HWb,) int32, n_valid) with HWb a
+    `bucket` multiple (bounding recompiles to one per bucket size; padded
+    entries duplicate pixel 0 and must be masked to the trash cell by the
+    caller), or None when culling is not worthwhile.
+    """
+    import numpy as np
+
+    valid_pix_np = np.asarray(valid_pix_np)
+    hw = valid_pix_np.shape[0]
+    keep = np.nonzero(valid_pix_np)[0].astype(np.int32)
+    if len(keep) > (1.0 - min_trash_frac) * hw:
+        return None
+    # keep the bucket granularity proportionate at toy sizes (8-aligned)
+    bucket = -(-min(bucket, max(8, -(-hw // 8))) // 8) * 8
+    pad = -(-max(len(keep), 1) // bucket) * bucket - len(keep)
+    pix_keep = np.concatenate([keep, np.zeros(pad, np.int32)])
+    if len(pix_keep) >= hw:                                      # padding won
+        return None
+    return pix_keep, len(keep)
+
+
+def apply_pixel_cull(cells, pix_keep, n_valid: int, num_cells: int):
+    """Device-side companion of `cull_pixel_indices`: gather the culled
+    (BN, HWb, D) cells and send the padded rows to the trash cell."""
+    culled = jnp.take(cells, jnp.asarray(pix_keep), axis=1)
+    mask = (jnp.arange(culled.shape[1]) < n_valid)[None, :, None]
+    return jnp.where(mask, culled, jnp.int32(num_cells))
+
+
+def cull_static_cells(cells_np, num_cells: int, bucket: int = 512,
+                      min_trash_frac: float = 0.05):
+    """Host-side static-rig pixel culling of the top-k lift inputs.
+
+    For a fixed roadside rig some pixels' ENTIRE height-bin ray lands outside
+    the BEV grid (sky above the horizon, road beyond the range; ~18.5% of
+    r101 pixels on the bench rig). The top-k and the scatter are row-bound,
+    so dropping those pixels STATICALLY — the per-rig cell cache makes the
+    valid set a constant — shrinks both. Row order is preserved, so the
+    scatter's per-cell accumulation order and hence the lift output are
+    bit-identical (tools/probe_pixel_cull.py asserts this on-chip).
+
+    Args:
+      cells_np: (BN, HW, D) int32 host array from `compute_lift_cells` in
+        top-k layout, with `num_cells` as the trash index.
+      num_cells: the trash index (= Y*X).
+      bucket: pad the kept-pixel count up to a multiple of this, bounding
+        recompiles to one per bucket size; padded rows duplicate pixel 0 but
+        carry all-trash cells, contributing nothing.
+      min_trash_frac: return None (cull not worthwhile) when fewer than this
+        fraction of pixels is fully-trash across the batch union.
+
+    Returns:
+      None, or (cells_culled (BN, HWv, D) int32, pix_keep (HWv,) int32) as
+      numpy arrays; gather height/context rows with `pix_keep` before
+      `topk_lift_inputs_hwd`.
+    """
+    import numpy as np
+
+    cells_np = np.asarray(cells_np)
+    # union of per-camera valid pixels: correct even if the batch mixes rigs
+    valid_pix = (cells_np < num_cells).any(axis=(0, 2))          # (HW,)
+    out = cull_pixel_indices(valid_pix, bucket, min_trash_frac)
+    if out is None:
+        return None
+    pix_keep, n_valid = out
+    culled = cells_np[:, pix_keep, :].copy()
+    culled[:, n_valid:, :] = num_cells                           # pad -> trash
+    return culled, pix_keep
+
+
 def topk_lift_inputs(height: jnp.ndarray, cell_index: jnp.ndarray,
                      k: int, method: str = "auto"
                      ) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -1,0 +1,39 @@
+"""Host-CPU jax-backend helpers for the serving path.
+
+The static-rig pixel cull needs one (HW,) validity mask per rig. Computing
+it on the accelerator means a device->host fetch, and fetching ANYTHING
+through the axon TPU relay can cost minutes on a cold path (CLAUDE.md
+landmine 1 — measured 665 s for 20 KB of bools at BSM scale, r5). The mask
+is pure camera geometry, so it runs on the host CPU backend from the
+host-side calibration in ~a second instead, with a conservative 1-voxel
+margin making the decision robust to CPU-vs-TPU fp32 rounding
+(`nn.lss_fpn.compute_valid_pixels`).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def host_valid_pixels(backbone_cfg, host_mats, margin: int = 1):
+    """(HW,) bool batch-union validity mask, computed on the CPU backend.
+
+    `host_mats`: the host-side (numpy) mats dict. Returns None when no CPU
+    backend is available (never the case on standard jax builds) — callers
+    then skip culling rather than risk a device fetch.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from sgv3d_tpu.nn.lss_fpn import compute_valid_pixels
+
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except Exception:
+        return None
+    mats_np = {k: np.asarray(v) for k, v in host_mats.items()}
+    with jax.default_device(cpu):
+        valid = jax.jit(
+            lambda m: compute_valid_pixels(backbone_cfg, m,
+                                           margin=margin).any(axis=0)
+        )(jax.device_put(mats_np, cpu))
+    return np.asarray(valid)
