@@ -34,9 +34,9 @@ BATCH = int(os.environ.get("BENCH_BATCH", "16"))
 STATIC_RIG = os.environ.get("BENCH_STATIC_RIG", "1") == "1"
 # Static-rig pixel culling (the api serving default): statically drop pixels
 # whose whole height ray is outside the BEV grid before the row-bound
-# top-k + scatter (ops.voxel_pooling.cull_static_cells; identical top-k
-# selection, BEV differs only by fp32 scatter summation order <= 1.2e-6 —
-# tools/probe_pixel_cull.py). BENCH_CULL=0 disables.
+# top-k + scatter (ops.voxel_pooling.cull_pixel_indices + apply_pixel_cull;
+# identical top-k selection, BEV differs only by fp32 scatter summation
+# order <= 1.7e-6 — tools/probe_pixel_cull.py). BENCH_CULL=0 disables.
 CULL = os.environ.get("BENCH_CULL", "1") == "1"
 # BENCH_EXACT_LIFT=1 measures the parity-grade exact all-bin lift (the `-e`
 # evaluation default) instead of the exp's top-k deploy lift.
@@ -149,8 +149,7 @@ def main():
             if out_c is not None:
                 pix_np, n_valid = out_c
                 pix_keep = jnp.asarray(pix_np)
-                cells = jax.jit(apply_pixel_cull, static_argnums=(2, 3))(
-                    cells, pix_keep, n_valid, nc)
+                cells = apply_pixel_cull(cells, pix_keep, n_valid, nc)
                 phase(f"static pixel cull: {len(pix_np)}/{len(valid)} px "
                       f"kept (bucketed; {n_valid} valid)")
     # Warmup / compile. NOTE: on the axon TPU relay, block_until_ready does

@@ -75,10 +75,11 @@ class BEVHeightPredictor:
             fused_convs=fused_convs)
         self.variables = variables
         self.static_rig = static_rig
-        # Static-rig pixel culling (ops.voxel_pooling.cull_static_cells):
-        # statically drop pixels whose whole height ray is outside the BEV
-        # grid before the row-bound top-k + scatter (+2.2% e2e img/s on
-        # r101/v5e, PIXEL_CULL.json). Identical top-k selection; the BEV map
+        # Static-rig pixel culling (ops.voxel_pooling.cull_pixel_indices +
+        # apply_pixel_cull): statically drop pixels whose whole height ray
+        # is outside the BEV grid before the row-bound top-k + scatter
+        # (+2.3% e2e img/s on r101, +5.2% SGV3D, PIXEL_CULL.json).
+        # Identical top-k selection; the BEV map
         # differs only by fp32 scatter summation order (<=1.7e-6, probed
         # on-chip — tools/probe_pixel_cull.py). Only meaningful with the
         # per-rig cell cache + top-k lift; off under a mesh (the sharded
@@ -88,9 +89,18 @@ class BEVHeightPredictor:
         # long-lived per-rig serving amortises it, set cull_pixels=False
         # for rapidly-changing calibrations.
         if cull_pixels is None:
-            cull_pixels = (static_rig and cfg.backbone.lift_top_k is not None)
-        if self.mesh is not None:
-            cull_pixels = False  # unsupported under a mesh, see above
+            cull_pixels = (static_rig and self.mesh is None
+                           and cfg.backbone.lift_top_k is not None)
+        elif cull_pixels:
+            # fail loudly on an explicit request the path cannot honour
+            # instead of silently ignoring it or mis-gathering (review r5)
+            if not static_rig or cfg.backbone.lift_top_k is None:
+                raise ValueError(
+                    "cull_pixels=True requires static_rig=True and a top-k "
+                    "lift (cfg.backbone.lift_top_k)")
+            if self.mesh is not None:
+                raise ValueError(
+                    "cull_pixels=True is unsupported under a mesh")
         self.cull_pixels = cull_pixels
         self._cells = None          # (cells, pix_keep or None) once cached
         self._cells_key = None
@@ -153,8 +163,8 @@ class BEVHeightPredictor:
                 if out is not None:
                     pix_np, n_valid = out
                     pix = jnp.asarray(pix_np)
-                    cells = jax.jit(apply_pixel_cull, static_argnums=(2, 3))(
-                        cells, pix, n_valid, self._num_cells)
+                    cells = apply_pixel_cull(cells, pix, n_valid,
+                                             self._num_cells)
             self._cells = (cells, pix)
             self._cells_key = key
         return self._cells

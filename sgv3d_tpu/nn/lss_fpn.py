@@ -34,6 +34,30 @@ def _lift_k(cfg: BackboneConfig, train: bool) -> int | None:
     return cfg.train_lift_top_k if train else cfg.lift_top_k
 
 
+def _frustum_voxels(cfg: BackboneConfig, mats, sweep: int,
+                    hwd_layout: bool) -> jnp.ndarray:
+    """Shared geometry preamble: frustum -> ego points -> int voxel coords.
+
+    `hwd_layout` orders the frustum (fH, fW, D, 4) (the top-k lift layout);
+    otherwise (D, fH, fW, 4). Single implementation so the lift cells and
+    the cull validity mask can never disagree on the geometry
+    (code review r5)."""
+    frustum = jnp.asarray(
+        geom.make_frustum(cfg.final_dim, cfg.effective_downsample, cfg.d_bound))
+    if hwd_layout:
+        frustum = frustum.transpose(1, 2, 0, 3)        # (fH, fW, D, 4)
+    points = geom.get_geometry(
+        frustum,
+        mats["sensor2ego_mats"][:, sweep],
+        mats["sensor2virtual_mats"][:, sweep],
+        mats["intrin_mats"][:, sweep],
+        mats["ida_mats"][:, sweep],
+        mats["reference_heights"][:, sweep],
+        mats.get("bda_mat"),
+    )
+    return geom.geometry_to_voxel(points, cfg.voxel_grid)
+
+
 def compute_lift_cells(cfg: BackboneConfig, mats, sweep: int = 0,
                        train: bool = False) -> jnp.ndarray:
     """BEV cell index for every frustum point: geometry -> voxelize -> flatten.
@@ -51,21 +75,8 @@ def compute_lift_cells(cfg: BackboneConfig, mats, sweep: int = 0,
     f_h, f_w = cfg.feat_hw
     d = cfg.num_height_bins
     grid = cfg.voxel_grid
-    frustum = jnp.asarray(
-        geom.make_frustum(cfg.final_dim, cfg.effective_downsample, cfg.d_bound))
     use_topk = _lift_k(cfg, train) is not None
-    if use_topk:
-        frustum = frustum.transpose(1, 2, 0, 3)        # (fH, fW, D, 4)
-    points = geom.get_geometry(
-        frustum,
-        mats["sensor2ego_mats"][:, sweep],
-        mats["sensor2virtual_mats"][:, sweep],
-        mats["intrin_mats"][:, sweep],
-        mats["ida_mats"][:, sweep],
-        mats["reference_heights"][:, sweep],
-        mats.get("bda_mat"),
-    )
-    vox = geom.geometry_to_voxel(points, grid)
+    vox = _frustum_voxels(cfg, mats, sweep, hwd_layout=use_topk)
     cell = flatten_voxel_index(vox, tuple(grid.voxel_num))
     if use_topk:
         return cell.reshape(b * n, f_h * f_w, d)
@@ -90,19 +101,7 @@ def compute_valid_pixels(cfg: BackboneConfig, mats, sweep: int = 0,
     b = mats["sensor2ego_mats"].shape[0]
     n = mats["sensor2ego_mats"].shape[2]
     grid = cfg.voxel_grid
-    frustum = jnp.asarray(
-        geom.make_frustum(cfg.final_dim, cfg.effective_downsample, cfg.d_bound))
-    frustum = frustum.transpose(1, 2, 0, 3)                # (fH, fW, D, 4)
-    points = geom.get_geometry(
-        frustum,
-        mats["sensor2ego_mats"][:, sweep],
-        mats["sensor2virtual_mats"][:, sweep],
-        mats["intrin_mats"][:, sweep],
-        mats["ida_mats"][:, sweep],
-        mats["reference_heights"][:, sweep],
-        mats.get("bda_mat"),
-    )
-    vox = geom.geometry_to_voxel(points, grid)             # (..., fH, fW, D, 3)
+    vox = _frustum_voxels(cfg, mats, sweep, hwd_layout=True)
     nums = jnp.asarray(
         [int(grid.voxel_num[0]), int(grid.voxel_num[1]), int(grid.voxel_num[2])],
         jnp.int32)
@@ -123,9 +122,13 @@ def _lift_and_splat(cfg: BackboneConfig, height_prob, tran_feat, mats, sweep,
     via lax.top_k — unselected bins get zero height gradient). `cells`
     (optional) is a precomputed `compute_lift_cells` result (static-rig
     fast path). `pix_keep` (optional, top-k path only, requires `cells`
-    already culled by `ops.voxel_pooling.cull_static_cells`) statically
-    drops fully-out-of-grid pixels before the row-bound top-k + scatter —
-    bit-identical output, measured on-chip (tools/probe_pixel_cull.py)."""
+    already culled via `ops.voxel_pooling.cull_pixel_indices` +
+    `apply_pixel_cull`) statically drops fully-out-of-grid pixels before
+    the row-bound top-k + scatter. Equivalence (tools/probe_pixel_cull.py):
+    the top-k selection is bit-identical per kept pixel; the pooled BEV map
+    is bitwise equal on CPU and differs on TPU only by fp32 scatter
+    summation order (<=1.7e-6 — XLA reassociates at different row counts;
+    do NOT assert on-chip bitwise equality against the unculled path)."""
     b = mats["sensor2ego_mats"].shape[0]
     n = mats["sensor2ego_mats"].shape[2]
     f_h, f_w = cfg.feat_hw

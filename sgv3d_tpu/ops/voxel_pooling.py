@@ -210,9 +210,14 @@ def cull_pixel_indices(valid_pix_np, bucket: int = 512,
     return pix_keep, len(keep)
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3))
 def apply_pixel_cull(cells, pix_keep, n_valid: int, num_cells: int):
     """Device-side companion of `cull_pixel_indices`: gather the culled
-    (BN, HWb, D) cells and send the padded rows to the trash cell."""
+    (BN, HWb, D) cells and send the padded rows to the trash cell.
+
+    `cells` must be in the top-k (BN, HW, D) layout. Jitted at module level
+    so repeated rig changes reuse one compiled executable per shape instead
+    of re-tracing per rig (code review r5)."""
     culled = jnp.take(cells, jnp.asarray(pix_keep), axis=1)
     mask = (jnp.arange(culled.shape[1]) < n_valid)[None, :, None]
     return jnp.where(mask, culled, jnp.int32(num_cells))
@@ -220,7 +225,10 @@ def apply_pixel_cull(cells, pix_keep, n_valid: int, num_cells: int):
 
 def cull_static_cells(cells_np, num_cells: int, bucket: int = 512,
                       min_trash_frac: float = 0.05):
-    """Host-side static-rig pixel culling of the top-k lift inputs.
+    """Numpy reference implementation of the static-rig pixel cull
+    (`cull_pixel_indices` + `apply_pixel_cull` composed on host arrays) —
+    used by the equivalence probe and the unit tests. The serving path
+    composes the two pieces instead so the cells gather stays on device.
 
     For a fixed roadside rig some pixels' ENTIRE height-bin ray lands outside
     the BEV grid (sky above the horizon, road beyond the range; ~18.5% of

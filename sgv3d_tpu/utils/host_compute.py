@@ -31,9 +31,20 @@ def host_valid_pixels(backbone_cfg, host_mats, margin: int = 1):
     except Exception:
         return None
     mats_np = {k: np.asarray(v) for k, v in host_mats.items()}
+    # A serving batch usually replicates ONE rig B times; compute geometry
+    # only for the unique batch elements and union — on the 1-core host
+    # this cuts the prep by ~the batch factor (code review r5). Mixed-rig
+    # batches keep full union semantics via the unique set.
+    batch = next(iter(mats_np.values())).shape[0]
+    keys = [
+        tuple(mats_np[k][i].tobytes() for k in sorted(mats_np))
+        for i in range(batch)
+    ]
+    uniq = sorted({keys.index(k) for k in keys})
+    mats_u = {k: v[uniq] for k, v in mats_np.items()}
     with jax.default_device(cpu):
         valid = jax.jit(
             lambda m: compute_valid_pixels(backbone_cfg, m,
                                            margin=margin).any(axis=0)
-        )(jax.device_put(mats_np, cpu))
+        )(jax.device_put(mats_u, cpu))
     return np.asarray(valid)

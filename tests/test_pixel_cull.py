@@ -78,3 +78,20 @@ def test_predictor_cull_pixels_bit_identical():
         np.testing.assert_array_equal(bp, bc)
         np.testing.assert_array_equal(sp, sc)
         np.testing.assert_array_equal(lp, lc)
+
+
+def test_predictor_cull_pixels_validation():
+    """An explicit cull_pixels=True the path cannot honour fails loudly
+    instead of silently mis-gathering or being ignored (code review r5)."""
+    import pytest
+
+    from sgv3d_tpu.api import BEVHeightPredictor
+
+    cfg = tiny_exp(False)  # lift_top_k is None -> exact lift, no culling
+    with pytest.raises(ValueError, match="top-k"):
+        BEVHeightPredictor(cfg, {}, use_bf16=False, cull_pixels=True)
+    cfg_k = dataclasses.replace(cfg, backbone=dataclasses.replace(
+        cfg.backbone, lift_top_k=4))
+    with pytest.raises(ValueError, match="static_rig"):
+        BEVHeightPredictor(cfg_k, {}, use_bf16=False, static_rig=False,
+                           cull_pixels=True)

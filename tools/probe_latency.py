@@ -89,11 +89,13 @@ def family_latency(exp: str, batches, floor_ms: float):
         # device-resident input: what a real host's DMA'd batch looks like
         imgs_dev = jnp.asarray(imgs)
         jmats_dev = {k: jnp.asarray(np.asarray(v)) for k, v in mats.items()}
-        cells = pred._rig_cells(mats, jmats_dev) if pred.static_rig else None
+        cells, pix_keep = (pred._rig_cells(mats, jmats_dev)
+                           if pred.static_rig else (None, None))
 
         def one_dev():
             return pred._collect(
-                pred._infer(pred.variables, imgs_dev, jmats_dev, cells))
+                pred._infer(pred.variables, imgs_dev, jmats_dev, cells,
+                            pix_keep))
 
         e2e = 1e3 * _median_time(one_host)
         dev = 1e3 * _median_time(one_dev)

@@ -36,7 +36,8 @@ import numpy as np
 from sgv3d_tpu.configs import get_exp
 from sgv3d_tpu.data.synthetic import make_batch
 from sgv3d_tpu.nn.lss_fpn import compute_lift_cells
-from sgv3d_tpu.ops.voxel_pooling import lift_splat_pool, topk_lift_inputs_hwd
+from sgv3d_tpu.ops.voxel_pooling import (
+    cull_static_cells, lift_splat_pool, topk_lift_inputs_hwd)
 
 CHAIN = int(os.environ.get("PC_CHAIN", "8"))
 BN = int(os.environ.get("PC_BN", "16"))
@@ -79,12 +80,11 @@ def main():
             lambda m: compute_lift_cells(cfg.backbone, m))(jm))  # (1, HW, D)
         cells = np.broadcast_to(cells1, (bn, hw, d)).copy()
 
-        valid_pix = (cells1[0] < num_cells).any(axis=-1)         # (HW,)
-        keep = np.where(valid_pix)[0].astype(np.int32)
-        pad = -(-len(keep) // 512) * 512 - len(keep)             # 512-bucket
-        pix_keep = np.concatenate([keep, np.zeros(pad, np.int32)])
-        cells_cull = cells[:, pix_keep, :].copy()
-        cells_cull[:, len(keep):, :] = num_cells                 # pad -> trash
+        # the production culling implementation (unit-tested contract)
+        culled = cull_static_cells(cells, num_cells)
+        assert culled is not None, f"{exp}: rig produced no cullable pixels"
+        cells_cull, pix_keep = culled
+        keep = np.where((cells1[0] < num_cells).any(axis=-1))[0]
         hw_v = len(pix_keep)
 
         rng = np.random.default_rng(0)
