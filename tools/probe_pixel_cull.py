@@ -59,6 +59,29 @@ def time_fn(fn, *args, iters=3):
     return best / CHAIN * 1000.0  # ms per chained instance
 
 
+def _merge_artifact(new_results):
+    """Merge this run's records into PIXEL_CULL.json by exp name, written
+    incrementally so a killed run still persists completed exps and a
+    partial-exp run (PC_EXPS=...) does not clobber the other families'
+    records or the e2e section."""
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "PIXEL_CULL.json")
+    doc = {}
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+    except Exception:
+        pass
+    by_exp = {r["exp"]: r for r in doc.get("results", [])}
+    by_exp.update({r["exp"]: r for r in new_results})
+    doc.setdefault(
+        "note", "static-rig pixel culling of the serving lift "
+        "(chained x8, min-of-3, ms per lift)")
+    doc["results"] = list(by_exp.values())
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1)
+
+
 def main():
     results = []
     for exp in EXPS.split(","):
@@ -164,11 +187,7 @@ def main():
         }
         print(json.dumps(rec), flush=True)
         results.append(rec)
-        # write incrementally so a killed run still persists completed exps
-        with open("PIXEL_CULL.json", "w") as f:
-            json.dump({"note": "static-rig pixel culling of the serving "
-                               "lift (chained x8, min-of-3, ms per lift)",
-                       "results": results}, f, indent=1)
+        _merge_artifact(results)
         assert topk_same, f"culled top-k selection differs for {exp}"
         assert bev_delta < 1e-5, (
             f"culled BEV beyond scatter-order noise for {exp}: {bev_delta}")
