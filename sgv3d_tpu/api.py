@@ -118,6 +118,12 @@ class BEVHeightPredictor:
         self._num_cells = int(grid.voxel_num[0]) * int(grid.voxel_num[1])
 
         if self.mesh is None:
+            # Commit the params to device ONCE: a msgpack-loaded tree is
+            # host numpy (flax from_bytes), and passing it to the jitted
+            # _infer re-uploads the full model EVERY call — seconds per
+            # batch for r101 through a TPU relay (code review r5). A no-op
+            # for already-device trees.
+            self.variables = jax.device_put(self.variables)
             self._infer = jax.jit(_infer)
             self._cells_fn = jax.jit(_cells_fn)
             self._batch_sharding = None

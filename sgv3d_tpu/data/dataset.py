@@ -438,18 +438,38 @@ class DataLoader:
         import threading
         q: "queue.Queue" = queue.Queue(maxsize=2)
         sentinel = object()
+        stop = threading.Event()
+
+        def _bounded_put(item) -> bool:
+            # A consumer that abandons the iterator mid-epoch (e.g.
+            # runner.train's max_steps break) never drains the queue; an
+            # unconditional put would then block this thread for the
+            # process lifetime, pinning up to 3 batches — device-resident
+            # arrays on the to_device path (code review r5).
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for b in self._batches():
-                    q.put(b)
+                    if not _bounded_put(b):
+                        return
             finally:
-                q.put(sentinel)
+                _bounded_put(sentinel)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+        finally:
+            # runs on break/GC-close of the generator as well as exhaustion
+            stop.set()

@@ -210,14 +210,15 @@ def cull_pixel_indices(valid_pix_np, bucket: int = 512,
     return pix_keep, len(keep)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def apply_pixel_cull(cells, pix_keep, n_valid: int, num_cells: int):
+@functools.partial(jax.jit, static_argnums=(3,))
+def apply_pixel_cull(cells, pix_keep, n_valid, num_cells: int):
     """Device-side companion of `cull_pixel_indices`: gather the culled
     (BN, HWb, D) cells and send the padded rows to the trash cell.
 
     `cells` must be in the top-k (BN, HW, D) layout. Jitted at module level
-    so repeated rig changes reuse one compiled executable per shape instead
-    of re-tracing per rig (code review r5)."""
+    with `n_valid` TRACED (two rigs sharing a pix_keep bucket size then
+    share one executable — marking it static would recompile per distinct
+    valid count, defeating the bucketing; code review r5)."""
     culled = jnp.take(cells, jnp.asarray(pix_keep), axis=1)
     mask = (jnp.arange(culled.shape[1]) < n_valid)[None, :, None]
     return jnp.where(mask, culled, jnp.int32(num_cells))

@@ -8,6 +8,7 @@ train step over the data mesh, per-epoch checkpoints, metrics JSONL, and the
 from __future__ import annotations
 
 import contextlib
+import functools
 import glob
 import itertools
 import os
@@ -24,6 +25,7 @@ from sgv3d_tpu.train.loop import (
     TrainState, create_train_state, make_eval_step, make_train_step)
 from sgv3d_tpu.train.metrics import MetricsLogger
 from sgv3d_tpu.train import profiling
+from sgv3d_tpu.train import optim
 from sgv3d_tpu.train.optim import make_optimizer
 from sgv3d_tpu.train.sharding import (
     host_local_state_to_global, make_mesh, process_local_rows, shard_batch)
@@ -121,7 +123,17 @@ def train(cfg: ExpConfig, data_root: str | None = None,
 
     mesh = make_mesh(None if world > 1 else n_dev)
     model = build_model(cfg, use_bf16=use_bf16)
-    tx, schedule = make_optimizer(cfg, jax.device_count(), steps_per_epoch)
+    # LR follows the linear-scaling rule over the devices ACTUALLY in the
+    # mesh (reference: lr = 2e-4/64 * batch * gpus, exps/...:401-402) —
+    # mesh.size == the global batch's device factor on every path.
+    # jax.device_count() over-counted whenever num_devices restricted the
+    # mesh below the host's devices (code review r5).
+    tx, schedule = make_optimizer(cfg, mesh.size, steps_per_epoch)
+    del schedule  # logging uses the host-side value; see lr_of below
+    # pure-python LR for the per-step metrics log: the optax schedule runs
+    # eager jnp ops — a relay round trip each (code review r5)
+    lr_of = functools.partial(optim.schedule_value, cfg, mesh.size,
+                              steps_per_epoch)
 
     sample = next(iter(DataLoader(dataset, 1, prefetch=False)))
     state = create_train_state(model, cfg, tx, (sample[0], sample[1]),
@@ -160,7 +172,7 @@ def train(cfg: ExpConfig, data_root: str | None = None,
                         state, metrics = train_step(state, *sharded)
                     step += 1
                     with prof.profile("metrics_log"):
-                        logger.log(step, metrics, lr=schedule(step),
+                        logger.log(step, metrics, lr=lr_of(step),
                                    epoch=step / steps_per_epoch)
                     if step >= total_steps:
                         break
@@ -258,6 +270,15 @@ def evaluate(cfg: ExpConfig, ckpt_path: str | None = None,
                     {"params": jax.device_get(template.params),
                      "batch_stats": jax.device_get(template.batch_stats)},
                     f.read())
+            if jax.process_count() == 1:
+                # commit the numpy msgpack tree to device ONCE — left
+                # host-side, eval_step would re-upload the full model on
+                # EVERY val batch (code review r5). Multi-process takes the
+                # host_local_state_to_global promotion below instead.
+                from sgv3d_tpu.train.sharding import replicated
+                target = (replicated(mesh) if mesh.size > 1
+                          else jax.devices()[0])
+                variables = jax.device_put(variables, target)
             state = template._replace(
                 params=host_local_state_to_global(mesh, variables["params"]),
                 batch_stats=host_local_state_to_global(

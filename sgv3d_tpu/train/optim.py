@@ -18,6 +18,24 @@ def multistep_schedule(base_lr: float, milestones_steps: list[int],
     return optax.piecewise_constant_schedule(base_lr, boundaries)
 
 
+def schedule_value(cfg: ExpConfig, num_devices: int, steps_per_epoch: int,
+                   step: int, gamma: float = 0.1) -> float:
+    """Host-side (pure python) value of the multistep schedule at `step`.
+
+    Matches `make_optimizer`'s optax schedule exactly (parity-tested in
+    tests/test_train_optim.py). The training loop logs the LR every step;
+    calling the optax schedule eagerly there runs several jnp ops per step
+    — a device round trip EACH on the axon TPU relay (CLAUDE.md landmine 6;
+    code review r5)."""
+    lr = cfg.basic_lr_per_img * cfg.batch_size_per_device * num_devices
+    for m in cfg.lr_milestones:
+        # optax.piecewise_constant_schedule applies a boundary's scale for
+        # count >= boundary (verified empirically; parity test)
+        if step >= m * steps_per_epoch:
+            lr *= gamma
+    return lr
+
+
 def make_optimizer(cfg: ExpConfig, num_devices: int, steps_per_epoch: int
                    ) -> tuple[optax.GradientTransformation, optax.Schedule]:
     lr = cfg.basic_lr_per_img * cfg.batch_size_per_device * num_devices

@@ -11,7 +11,22 @@ margin making the decision robust to CPU-vs-TPU fp32 rounding
 """
 from __future__ import annotations
 
+import functools
+
 import numpy as np
+
+
+@functools.lru_cache(maxsize=8)
+def _valid_fn(backbone_cfg, margin: int):
+    """One jitted CPU validity function per (frozen) backbone config —
+    recreating the lambda per call would re-trace/compile the geometry on
+    every new-rig cache miss (code review r5)."""
+    import jax
+
+    from sgv3d_tpu.nn.lss_fpn import compute_valid_pixels
+
+    return jax.jit(lambda m: compute_valid_pixels(
+        backbone_cfg, m, margin=margin).any(axis=0))
 
 
 def host_valid_pixels(backbone_cfg, host_mats, margin: int = 1):
@@ -22,9 +37,6 @@ def host_valid_pixels(backbone_cfg, host_mats, margin: int = 1):
     then skip culling rather than risk a device fetch.
     """
     import jax
-    import jax.numpy as jnp
-
-    from sgv3d_tpu.nn.lss_fpn import compute_valid_pixels
 
     try:
         cpu = jax.local_devices(backend="cpu")[0]
@@ -43,8 +55,5 @@ def host_valid_pixels(backbone_cfg, host_mats, margin: int = 1):
     uniq = sorted({keys.index(k) for k in keys})
     mats_u = {k: v[uniq] for k, v in mats_np.items()}
     with jax.default_device(cpu):
-        valid = jax.jit(
-            lambda m: compute_valid_pixels(backbone_cfg, m,
-                                           margin=margin).any(axis=0)
-        )(jax.device_put(mats_u, cpu))
+        valid = _valid_fn(backbone_cfg, margin)(jax.device_put(mats_u, cpu))
     return np.asarray(valid)

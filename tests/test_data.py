@@ -260,3 +260,27 @@ def test_dataloader_sharded_shuffle_consistent(tmp_path):
                             shard_id=shard_id, num_shards=2)
         got.append([m["token"] for b in loader for m in b[5]])
     assert [t for pair in zip(*got) for t in pair] == full
+
+
+def test_dataloader_prefetch_thread_stops_on_abandon():
+    """Abandoning a prefetching loader mid-epoch (runner.train's max_steps
+    break) must release the worker thread — an unconditional q.put would
+    block it forever, pinning up to 3 batches of (device) memory per
+    abandoned epoch (code review r5)."""
+    import threading
+    import time
+
+    from sgv3d_tpu.data.dataset import DataLoader
+
+    loader = DataLoader.__new__(DataLoader)  # bypass ctor: only the
+    loader.prefetch = True                   # prefetch path is under test
+    loader._batches = lambda: iter(range(100))
+
+    n0 = threading.active_count()
+    it = iter(loader)
+    assert next(it) == 0
+    it.close()  # what dropping the last reference does in CPython
+    deadline = time.time() + 5.0
+    while threading.active_count() > n0 and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() == n0, "prefetch worker leaked"

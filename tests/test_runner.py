@@ -127,6 +127,11 @@ def test_eval_knob_ap_deltas_quantified(tmp_path):
         backbone=dataclasses.replace(cfg.backbone, final_dim=(64, 96),
                                      lift_top_k=4),  # deploy knob: 4 of 8
         batch_size_per_device=2, data_root=root, src_hw=(H_IMG, W_IMG),
+        # The 40-step memorization was tuned when the runner (incorrectly)
+        # scaled LR by ALL 8 harness devices; with the linear-scaling fix
+        # (lr ~ the 1 device actually used) keep the same effective LR
+        # (2.5e-5 * 2 * 1 = the old 3.125e-6 * 2 * 8) explicitly.
+        basic_lr_per_img=2.5e-5,
         is_train_height=False)
     out_train = str(tmp_path / "train")
     state = runner.train(cfg, data_root=root, output_dir=out_train,

@@ -24,6 +24,25 @@ def test_lr_scales_with_global_batch():
         0.1 * float(sched1(0)))
 
 
+def test_schedule_value_matches_optax():
+    """The host-side pure-python LR (runner's per-step metrics log — the
+    optax schedule would run eager device ops per step, CLAUDE.md landmine
+    6) must track the optax schedule exactly, boundaries included."""
+    from sgv3d_tpu.train.optim import schedule_value
+
+    cfg = tiny_exp()
+    spe = 7
+    for n_dev in (1, 8):
+        _, sched = make_optimizer(cfg, num_devices=n_dev, steps_per_epoch=spe)
+        probes = [0, 1]
+        for m in cfg.lr_milestones:
+            probes += [m * spe - 1, m * spe, m * spe + 1]
+        probes.append(cfg.lr_milestones[-1] * spe + 100)
+        for step in probes:
+            assert float(sched(step)) == pytest.approx(
+                schedule_value(cfg, n_dev, spe, step), rel=1e-6), step
+
+
 def test_cbgs_resampling(tmp_path):
     import pickle
     from sgv3d_tpu.data.dataset import RoadSideDataset
