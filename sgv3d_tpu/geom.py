@@ -79,6 +79,13 @@ def get_sensor2virtual(denorm: np.ndarray) -> np.ndarray:
     n_norm = np.linalg.norm(n)
     out = np.eye(4, dtype=np.float32)
     if n_norm < 1e-12:
+        # parallel: identity. ANTI-parallel (a ground normal along +y, i.e.
+        # an inverted mounting convention) still needs a 180-degree turn —
+        # any axis orthogonal to y works; returning identity here would
+        # silently mirror every lifted point below ground (code review r5).
+        # (The reference's cv2.Rodrigues path divides 0/0 and emits NaNs.)
+        if cosang < 0.0:
+            out[:3, :3] = np.diag([1.0, -1.0, -1.0]).astype(np.float32)
         return out
     n = n / n_norm
     out[:3, :3] = rodrigues((n * theta).astype(np.float64)).astype(np.float32)
@@ -214,7 +221,10 @@ def height_to_ego(points: jnp.ndarray, sensor2ego: jnp.ndarray,
     plane `height_bin` metres above the ground, and map to the ego frame.
 
     Args:
-      points:            (B, N, D, fH, fW, 4) after undoing ida.
+      points:            (B, N, D, fH, fW, 4) after undoing ida — or the
+                         top-k lift layout (B, N, fH, fW, D, 4); the math
+                         only touches the trailing component axis, so any
+                         middle-axis order is accepted and preserved.
       sensor2ego:        (B, N, 4, 4).
       sensor2virtual:    (B, N, 4, 4).
       intrin:            (B, N, 4, 4).
@@ -317,7 +327,9 @@ def get_geometry(frustum: jnp.ndarray, sensor2ego: jnp.ndarray,
     """Ego-frame xyz for every frustum point.
 
     Args:
-      frustum: (D, fH, fW, 4) static frustum.
+      frustum: (D, fH, fW, 4) static frustum — or (fH, fW, D, 4) in top-k
+        lift mode (`nn.lss_fpn._frustum_voxels(hwd_layout=True)`); only the
+        trailing component axis matters, the rest is preserved.
       sensor2ego, sensor2virtual, intrin, ida: (B, N, 4, 4).
       reference_heights: (B, N).
       bda: optional (B, 4, 4) BEV augmentation matrix.

@@ -58,8 +58,13 @@ def bilinear_sample_window_nhwc(x: jnp.ndarray, py: jnp.ndarray,
     `lax.gather` whose slice rows are contiguous 2*C-element chunks (NHWC),
     so the TPU issues 4x fewer gather rows at 2x the DMA granularity of the
     per-corner `take_along_axis` formulation. Semantics identical to
-    `bilinear_sample_nhwc` (zero padding outside the map): corners that fall
-    one step outside read the zero ring; footprints fully outside are masked.
+    `bilinear_sample_nhwc` in fp32 (zero padding outside the map; corners
+    one step outside read the zero ring; footprints fully outside are
+    masked), bitwise-tested. In a bf16 compute dtype the corner weights and
+    accumulation run in bf16 too (the per-corner variant keeps them fp32):
+    a deliberate perf trade on the bf16 backbone path whose end effect is
+    already bounded through the full AP pipeline by the `bf16` knob rows of
+    PARITY_KNOBS.json — the parity-grade eval path is fp32 throughout.
     """
     b, h, w, c = x.shape
     idx_shape = py.shape

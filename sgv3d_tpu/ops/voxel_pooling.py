@@ -144,10 +144,12 @@ def _lift_splat_bwd(batch, num_cells, d_chunk, residuals, g):
     d = cell_index.shape[1]
     n, _, hw = height.shape
     c = context.shape[-1]
-    num_chunks_b = -(-d // d_chunk)
-    pad_b = num_chunks_b * d_chunk - d
-    if pad_b:
-        height = jnp.pad(height, ((0, 0), (0, pad_b), (0, 0)))
+    # one padding rule for BOTH height and gcell — they must stay in
+    # lockstep or the scan zips misaligned chunks (code review r5)
+    num_chunks = -(-d // d_chunk)
+    pad_d = num_chunks * d_chunk - d
+    if pad_d:
+        height = jnp.pad(height, ((0, 0), (0, pad_d), (0, 0)))
     cams_per_b = n // batch
     g = g.astype(jnp.float32)
     # Pad g with a zero trash row per batch element so out-of-range points get
@@ -158,9 +160,6 @@ def _lift_splat_bwd(batch, num_cells, d_chunk, residuals, g):
 
     batch_of_cam = jnp.arange(n, dtype=jnp.int32) // cams_per_b
     gcell = cell_index + (batch_of_cam * (num_cells + 1))[:, None, None]
-
-    num_chunks = -(-d // d_chunk)
-    pad_d = num_chunks * d_chunk - d
     gcell_p = jnp.pad(gcell, ((0, 0), (0, pad_d), (0, 0)),
                       constant_values=num_cells) if pad_d else gcell
     h_chunks = height.reshape(n, num_chunks, d_chunk, hw).transpose(1, 0, 2, 3)

@@ -57,6 +57,20 @@ def test_sensor2virtual_aligns_normal_with_y():
     np.testing.assert_allclose(s2v[:3, :3] @ s2v[:3, :3].T, np.eye(3), atol=1e-6)
 
 
+@pytest.mark.parametrize("normal_y", [-1.0, 1.0])
+def test_sensor2virtual_degenerate_normals(normal_y):
+    """Parallel AND antiparallel ground normals must both align to +y.
+    The antiparallel case (inverted mounting convention) needs a 180-degree
+    rotation — returning identity there silently mirrors every lifted point
+    below ground (code review r5; the reference's cv2.Rodrigues emits NaNs)."""
+    denorm = np.array([0.0, normal_y, 0.0, 7.0])
+    s2v = geom.get_sensor2virtual(denorm)
+    target = -denorm[:3] / np.linalg.norm(denorm[:3])
+    np.testing.assert_allclose(s2v[:3, :3] @ target, [0.0, 1.0, 0.0],
+                               atol=1e-6)
+    np.testing.assert_allclose(np.linalg.det(s2v[:3, :3]), 1.0, atol=1e-6)
+
+
 def test_reference_height():
     denorm = np.array([0.0, -2.0, 0.0, 14.0])
     assert abs(geom.get_reference_height(denorm) - 7.0) < 1e-6
